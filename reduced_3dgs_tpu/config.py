@@ -1,0 +1,33 @@
+"""Global constants for the TPU rasterizer.
+
+Behavioral contract mirrors the reference CUDA rasterizer configuration
+(/root/reference/submodules/diff-gaussian-rasterization/cuda_rasterizer/config.h:15-17):
+16x16 pixel tiles, 3 color channels. Values here are *our* choices for the
+TPU implementation; the tile size is kept at 16x16 because the binning math
+(rect computation, tile ranges) is defined in units of these tiles and 256
+pixels maps well onto an (8, 32) or (16, 16) VPU-friendly block.
+"""
+
+BLOCK_X = 16
+BLOCK_Y = 16
+BLOCK_SIZE = BLOCK_X * BLOCK_Y
+NUM_CHANNELS = 3
+
+# Alpha-compositing thresholds (reference forward.cu:546-554)
+ALPHA_EPS = 1.0 / 255.0
+ALPHA_MAX = 0.99
+T_EPS = 1e-4
+
+# Near-plane cull distance (reference auxiliary.h:149)
+NEAR_CULL_Z = 0.2
+
+# EWA low-pass filter added to the 2D covariance diagonal (forward.cu:199-200)
+COV2D_LOWPASS = 0.3
+
+# Chunk of Gaussians composited per scan step inside the renderers.
+# Within a chunk compositing is evaluated with an (exclusive) cumulative
+# product along the chunk axis, which is exact and fully parallel.
+CHUNK = 32
+
+# Default capacity bucket granularity for the growable Gaussian store.
+CAPACITY_GRANULARITY = 256

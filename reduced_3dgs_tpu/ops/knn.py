@@ -1,0 +1,157 @@
+"""Spatial K-nearest-neighbours, TPU-native.
+
+Equivalent of the reference's simple-knn extension
+(/root/reference/submodules/simple-knn/simple_knn.cu):
+  * `mean_knn_dist_sq`  ~ distCUDA2 (simple_knn.cu:150-185): per-point mean of
+    the 3 smallest squared distances INCLUDING self (the CUDA loop never
+    skips idx, so best[0] = 0) — used for COLMAP scale init.
+  * `knn`               ~ distIndex2 / knn_index2 (simple_knn.cu:391-522):
+    K nearest neighbour squared distances + indices, self excluded — used by
+    redundancy pruning with K=30 (pruning/trainer.py:25).
+
+Design: the CUDA version walks Morton-ordered boxes outward with box-distance
+rejection (exact search). On TPU we keep the Morton ordering but take a fixed
+candidate window around each point's rank — O(N*W) with static shapes, fully
+vectorised. Recall is boosted by taking the union of windows from several
+jittered Morton orderings (a standard trick for approximate KNN on sorted
+space-filling curves). For the statistical use these ops serve (scale init,
+redundancy counting), window KNN with W >= 8K is empirically
+indistinguishable from exact; tests measure recall against the exact O(N^2)
+path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _expand_bits(v: jnp.ndarray) -> jnp.ndarray:
+    """Spread 10 bits over 30 (Morton interleave), uint32."""
+    u = jnp.uint32
+    v = (v * u(0x00010001)) & u(0xFF0000FF)
+    v = (v * u(0x00000101)) & u(0x0F00F00F)
+    v = (v * u(0x00000011)) & u(0xC30C30C3)
+    v = (v * u(0x00000005)) & u(0x49249249)
+    return v
+
+
+def morton_codes(points: jnp.ndarray, lo=None, hi=None,
+                 jitter: float = 0.0) -> jnp.ndarray:
+    """30-bit Morton codes over the point AABB (simple_knn.cu:47-72)."""
+    if lo is None:
+        lo = jnp.min(points, axis=0)
+    if hi is None:
+        hi = jnp.max(points, axis=0)
+    extent = jnp.maximum(hi - lo, 1e-12)
+    u = (points - lo) / extent
+    if jitter:
+        u = jnp.clip(u + jitter, 0.0, 1.0)
+    q = jnp.clip((u * 1023.0), 0, 1023).astype(jnp.uint32)
+    return (_expand_bits(q[:, 0]) * 4 + _expand_bits(q[:, 1]) * 2
+            + _expand_bits(q[:, 2])).astype(jnp.uint32)
+
+
+def _window_candidates(order: jnp.ndarray, window: int) -> jnp.ndarray:
+    """[N, window] candidate point-indices around each point's sorted rank."""
+    n = order.shape[0]
+    rank_of = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    half = window // 2
+    offs = jnp.arange(window, dtype=jnp.int32) - half
+    cand_rank = jnp.clip(rank_of[:, None] + offs[None, :], 0, n - 1)
+    return order[cand_rank]                      # [N, window]
+
+
+def knn(points: jnp.ndarray, k: int, window: int = 256,
+        mask: Optional[jnp.ndarray] = None, n_orders: int = 2,
+        row_chunk: int = 65536) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """K nearest neighbours (squared distances, indices), self excluded.
+
+    Args:
+      points: [N, 3].
+      k: number of neighbours.
+      window: candidates per Morton ordering.
+      mask: [N] bool; False points are neither queried usefully nor returned
+        as neighbours of alive points.
+      n_orders: number of jittered Morton orderings to union.
+
+    Returns:
+      (dists_sq [N, k], indices [N, k] int32). Rows of masked-out points
+      contain inf / arbitrary indices.
+    """
+    n = points.shape[0]
+    if mask is not None:
+        # Push dead points to the far corner so they sort away from live ones.
+        far = jnp.max(points, axis=0) + 10.0 * (
+            jnp.max(points, axis=0) - jnp.min(points, axis=0) + 1.0)
+        pts = jnp.where(mask[:, None], points, far[None, :])
+    else:
+        pts = points
+
+    cands = []
+    for i in range(n_orders):
+        codes = morton_codes(pts, jitter=0.0 if i == 0 else 0.37 * i / n_orders)
+        order = jnp.argsort(codes).astype(jnp.int32)
+        cands.append(_window_candidates(order, window))
+    cand = jnp.concatenate(cands, axis=1)        # [N, n_orders*window]
+
+    def rows(args):
+        idx, cand_rows = args
+        d = pts[idx][:, None, :] - pts[cand_rows]          # [R, C, 3]
+        dist = jnp.sum(d * d, axis=-1)
+        invalid = cand_rows == idx[:, None]
+        if mask is not None:
+            invalid = invalid | ~mask[cand_rows]
+        # Deduplicate candidates appearing in several orderings: keep only the
+        # first occurrence (same index ==> same distance; mask duplicates by
+        # checking whether any earlier candidate slot holds the same index).
+        c = cand_rows.shape[1]
+        dup = jnp.zeros_like(invalid)
+        if n_orders > 1:
+            eq = cand_rows[:, :, None] == cand_rows[:, None, :]
+            earlier = jnp.tril(jnp.ones((c, c), bool), k=-1)
+            dup = jnp.any(eq & earlier[None], axis=-1)
+        dist = jnp.where(invalid | dup, jnp.inf, dist)
+        neg, pos = jax.lax.top_k(-dist, k)
+        return -neg, cand_rows[jnp.arange(cand_rows.shape[0])[:, None], pos]
+
+    idx_all = jnp.arange(n, dtype=jnp.int32)
+    if n <= row_chunk:
+        return rows((idx_all, cand))
+    pad = (-n) % row_chunk
+    idx_p = jnp.pad(idx_all, (0, pad))
+    cand_p = jnp.pad(cand, ((0, pad), (0, 0)))
+    nb = (n + pad) // row_chunk
+    d, i = jax.lax.map(rows, (idx_p.reshape(nb, row_chunk),
+                              cand_p.reshape(nb, row_chunk, -1)))
+    return d.reshape(-1, k)[:n], i.reshape(-1, k)[:n]
+
+
+def knn_exact(points: jnp.ndarray, k: int,
+              mask: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact O(N^2) KNN (tests / small N oracle)."""
+    d = points[:, None, :] - points[None, :, :]
+    dist = jnp.sum(d * d, axis=-1)
+    n = points.shape[0]
+    eye = jnp.eye(n, dtype=bool)
+    dist = jnp.where(eye, jnp.inf, dist)
+    if mask is not None:
+        dist = jnp.where(mask[None, :], dist, jnp.inf)
+    neg, idx = jax.lax.top_k(-dist, k)
+    return -neg, idx.astype(jnp.int32)
+
+
+def mean_knn_dist_sq(points: jnp.ndarray, window: int = 64,
+                     mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Mean of the 3 smallest squared distances including self (distCUDA2).
+
+    The CUDA kernel's candidate set includes the point itself (distance 0),
+    so the result is (d1^2 + d2^2)/3 with d1, d2 the two nearest neighbours
+    (simple_knn.cu:157-185).
+    """
+    d2, _ = knn(points, 2, window=window, mask=mask, n_orders=2)
+    d2 = jnp.where(jnp.isfinite(d2), d2, 0.0)
+    return jnp.sum(d2, axis=1) / 3.0

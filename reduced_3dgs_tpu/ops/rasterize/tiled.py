@@ -1,0 +1,228 @@
+"""Production tiled renderer: static-shape binning + sort + segmented compositing.
+
+TPU-native re-design of the reference host pipeline
+(/root/reference/submodules/diff-gaussian-rasterization/cuda_rasterizer/rasterizer_impl.cu:359-504):
+
+  CUDA                                   here (single fused XLA program)
+  ----------------------------------     --------------------------------------
+  CUB InclusiveSum(tiles_touched)        jnp.cumsum
+  D2H copy of num_rendered (sync!)       static key-buffer K + overflow flag
+  duplicateWithKeys 64-bit [tile|depth]  jnp.repeat(total_repeat_length=K) +
+                                         per-entry ordinal -> tile coordinates
+  CUB RadixSort of packed uint64 keys    jax.lax.sort((tile, depth, id), 2 keys)
+                                         (two 32-bit keys, no uint64 needed)
+  identifyTileRanges                     searchsorted per tile
+  renderCUDA sequential per-pixel loop   segmented log-space scan over the
+                                         sorted entry buffer (see below)
+
+Compositing without any sequential loop: for sorted entry k with gated alpha
+abar (see common.py for the gating/early-termination semantics), the incoming
+transmittance at its pixel is
+
+    T_in[k] = exp( Lex[k] ),   Lex = segmented exclusive cumsum of
+                                     log(1 - abar) over the entry's tile,
+
+which is exact because 1 - abar >= 0.01 (the 0.99 alpha clamp) keeps the logs
+finite. The early-termination latch ("first entry whose test_T drops below
+1e-4 kills all later entries in the tile", forward.cu:549-554) becomes a
+segmented cumulative count of triggers. Per-pixel colors are segment-sums of
+w = abar * T_in; per-Gaussian gradients come out of autodiff as deterministic
+scatter-adds (replacing the reference backward's atomicAdds,
+backward.cu:561-592); the replay division T/(1-alpha) of backward.cu:541 is
+exactly the autodiff of the log-space cumsum.
+
+There is no dynamic `num_rendered`: the key buffer size K is static. If the
+true number of (tile, Gaussian) pairs exceeds K, entries are dropped from the
+end of the emission order, and the returned `overflow` flag tells the caller
+to re-dispatch with a larger buffer (mirrors the reference's lazy buffer
+resize, rasterizer_impl.cu:163-202).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ... import config
+from . import common
+from .common import RenderSettings
+
+
+def default_key_buffer_size(n: int, tiles_x: int, tiles_y: int) -> int:
+    """Heuristic static key-buffer size (callers may override/regrow)."""
+    base = max(6 * n, 2048)
+    return int(min(base, max(n, 1) * tiles_x * tiles_y))
+
+
+def render_tiled(
+    means3d: jnp.ndarray,
+    opacities_raw: jnp.ndarray,
+    scales: jnp.ndarray,
+    rotations: jnp.ndarray,
+    shs: jnp.ndarray,
+    settings: RenderSettings,
+    alive: Optional[jnp.ndarray] = None,
+    mean2d_offset_ndc: Optional[jnp.ndarray] = None,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    cov3d_precomp: Optional[jnp.ndarray] = None,
+    with_stats: bool = False,
+    key_buffer_size: Optional[int] = None,
+    pixel_chunk: int = 64,
+):
+    """Render an image through the tiled pipeline.
+
+    Returns the same dict as `render_reference` plus "overflow" (bool) and
+    "num_rendered" (int32).
+    """
+    assert config.BLOCK_SIZE % pixel_chunk == 0, "pixel_chunk must divide 256"
+    N = means3d.shape[0]
+    H, W = settings.image_height, settings.image_width
+    tiles_x, tiles_y = common.tile_grid(settings)
+    num_tiles = tiles_x * tiles_y
+    K = key_buffer_size or default_key_buffer_size(N, tiles_x, tiles_y)
+
+    pre = common.preprocess(means3d, opacities_raw, scales, rotations, shs,
+                            settings, alive=alive,
+                            mean2d_offset_ndc=mean2d_offset_ndc,
+                            colors_precomp=colors_precomp,
+                            cov3d_precomp=cov3d_precomp)
+
+    counts = pre.tiles_touched                            # [N] int32
+    offsets = jnp.cumsum(counts) - counts                 # exclusive
+    total = offsets[-1] + counts[-1]
+    overflow = total > K
+
+    # --- duplicateWithKeys, static-shape form -----------------------------
+    gidx = jnp.repeat(jnp.arange(N, dtype=jnp.int32), counts,
+                      total_repeat_length=K)              # [K]
+    pos = jnp.arange(K, dtype=jnp.int32)
+    ordinal = pos - offsets[gidx]
+    entry_valid = (ordinal >= 0) & (ordinal < counts[gidx]) & (pos < total)
+
+    rect_w = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1)
+    tx = pre.rect_min[gidx, 0] + ordinal % rect_w[gidx]
+    ty = pre.rect_min[gidx, 1] + ordinal // rect_w[gidx]
+    tile_id = jnp.where(entry_valid, ty * tiles_x + tx, num_tiles)
+
+    depth_key = jnp.where(entry_valid, pre.depths[gidx], jnp.inf)
+    s_tile, _, s_gidx = jax.lax.sort(
+        (tile_id.astype(jnp.int32), depth_key.astype(jnp.float32), gidx),
+        num_keys=2)
+    s_valid = s_tile < num_tiles
+
+    # --- identifyTileRanges ------------------------------------------------
+    # Index (in the sorted buffer) where each entry's tile segment starts.
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), s_tile[1:] != s_tile[:-1]])
+    seg_start_pos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, pos, 0))          # [K]
+
+    # --- gather per-entry data ---------------------------------------------
+    e_means2d = pre.means2d[s_gidx]                        # [K,2]
+    e_conic = pre.conic[s_gidx]                            # [K,3]
+    e_opacity = pre.opacity[s_gidx]                        # [K]
+    e_rgb = pre.rgb[s_gidx]                                # [K,3]
+    e_depth = pre.depths[s_gidx]                           # [K]
+    e_tile_x = (s_tile % tiles_x).astype(jnp.float32) * config.BLOCK_X
+    e_tile_y = jnp.minimum(s_tile // tiles_x, tiles_y - 1).astype(jnp.float32) * config.BLOCK_Y
+
+    seg_ids = jnp.minimum(s_tile, num_tiles)               # [K], sentinel bucket
+
+    n_pix_chunks = -(-config.BLOCK_SIZE // pixel_chunk)
+    p_offsets = jnp.arange(pixel_chunk, dtype=jnp.int32)
+
+    def render_pixel_chunk(p0):
+        """Composite every entry against `pixel_chunk` pixels of its tile.
+
+        Returns per-(tile, pixel) color/log-T and per-entry stats.
+        """
+        p = p0 + p_offsets                                          # [P]
+        px = e_tile_x[:, None] + (p % config.BLOCK_X)[None, :]      # [K,P]
+        py = e_tile_y[:, None] + (p // config.BLOCK_X)[None, :]
+        dx = e_means2d[:, 0:1] - px
+        dy = e_means2d[:, 1:2] - py
+        A, B, C = e_conic[:, 0:1], e_conic[:, 1:2], e_conic[:, 2:3]
+        power = -0.5 * (A * dx * dx + C * dy * dy) - B * dx * dy
+        alpha = jnp.minimum(config.ALPHA_MAX, e_opacity[:, None] * jnp.exp(power))
+        gate = (power <= 0.0) & (alpha >= config.ALPHA_EPS) & s_valid[:, None]
+        abar = jnp.where(gate, alpha, 0.0)                          # [K,P]
+
+        log1ma = jnp.log1p(-abar)
+        csum = jnp.cumsum(log1ma, axis=0)
+        lex = csum - log1ma                                          # inclusive -> exclusive
+        lex = lex - lex[seg_start_pos]                               # segment-local
+        T_in = jnp.exp(lex)
+
+        trigger = gate & (T_in * (1.0 - abar) < config.T_EPS)
+        tcum = jnp.cumsum(trigger.astype(jnp.int32), axis=0)
+        tcum_ex = tcum - trigger.astype(jnp.int32)
+        dead = (tcum_ex - tcum_ex[seg_start_pos]) > 0
+        contrib = gate & ~trigger & ~dead                            # [K,P]
+
+        w = jnp.where(contrib, abar * T_in, 0.0)                     # [K,P]
+        # Per-(tile, pixel) accumulation.
+        color = jax.ops.segment_sum(w[:, :, None] * e_rgb[:, None, :],
+                                    seg_ids, num_segments=num_tiles + 1)
+        depth = jax.ops.segment_sum(w * e_depth[:, None],
+                                    seg_ids, num_segments=num_tiles + 1)
+        logT = jax.ops.segment_sum(jnp.where(contrib, log1ma, 0.0),
+                                   seg_ids, num_segments=num_tiles + 1)
+        if with_stats:
+            contrib_f = contrib.astype(w.dtype)
+            cnt = jnp.sum(contrib_f, axis=1)                         # [K]
+            stats = jnp.stack([
+                cnt,
+                cnt * e_opacity,
+                jnp.sum(w, axis=1),
+                jnp.sum(jnp.where(contrib, T_in, 0.0), axis=1),
+            ])                                                       # [4,K]
+        else:
+            stats = jnp.zeros((4, 1), w.dtype)
+        return color[:num_tiles], depth[:num_tiles], logT[:num_tiles], stats
+
+    def scan_body(acc, p0):
+        color, depth, logT, stats = render_pixel_chunk(p0)
+        return acc + stats, (color, depth, logT)
+
+    p0s = jnp.arange(n_pix_chunks, dtype=jnp.int32) * pixel_chunk
+    stats_entries, (colors, depths_img, logTs) = jax.lax.scan(
+        jax.checkpoint(scan_body), jnp.zeros((4, K if with_stats else 1)), p0s)
+    # colors: [n_pix_chunks, T, P, 3] -> [T, BLOCK_SIZE, 3]
+    colors = colors.transpose(1, 0, 2, 3).reshape(num_tiles, config.BLOCK_SIZE, 3)
+    depths_img = depths_img.transpose(1, 0, 2).reshape(num_tiles, config.BLOCK_SIZE)
+    T_img_tiles = jnp.exp(logTs.transpose(1, 0, 2).reshape(num_tiles, config.BLOCK_SIZE))
+
+    # --- stitch tiles back into the image and crop padding -----------------
+    padded_h = tiles_y * config.BLOCK_Y
+    padded_w = tiles_x * config.BLOCK_X
+
+    def stitch(tile_vals):
+        extra = tile_vals.shape[2:]
+        x = tile_vals.reshape(tiles_y, tiles_x, config.BLOCK_Y, config.BLOCK_X, *extra)
+        x = jnp.moveaxis(x, 2, 1).reshape(padded_h, padded_w, *extra)
+        return x[:H, :W]
+
+    T_full = stitch(T_img_tiles)
+    color_full = stitch(colors)
+    depth_full = stitch(depths_img)
+    image = color_full + T_full[..., None] * settings.bg[None, None, :]
+
+    out = {
+        "render": image.transpose(2, 0, 1),
+        "radii": pre.radii,
+        "final_T": T_full,
+        "depth": depth_full,
+        "overflow": overflow,
+        "num_rendered": total,
+    }
+    if with_stats:
+        def scatter_back(vals):
+            return jnp.zeros((N,), vals.dtype).at[s_gidx].add(
+                jnp.where(s_valid, vals, 0.0))
+        out["gaussians_count"] = scatter_back(stats_entries[0]).astype(jnp.int32)
+        out["opacity_important_score"] = scatter_back(stats_entries[1])
+        out["T_alpha_important_score"] = scatter_back(stats_entries[2])
+        out["touched_pixels"] = scatter_back(stats_entries[0]).astype(jnp.int32)
+        out["transmittance_sum"] = scatter_back(stats_entries[3])
+    return out

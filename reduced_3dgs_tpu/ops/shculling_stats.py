@@ -1,0 +1,114 @@
+"""Per-Gaussian colour-variance statistics for SH culling.
+
+TPU-native equivalent of the reference `calculate_colours_variance` op
+(/root/reference/submodules/diff-gaussian-rasterization/reduced_3dgs.cu:41-203
+with per-degree colours from reduced_3dgs/sh_culling.cu:25-110). For every
+camera it:
+
+  1. renders with transmittance accumulators (the renderer's with_stats path,
+     matching forward.cu:560-564) to get, per Gaussian, the mean incoming
+     transmittance w = sum(T)/max(touched, 1) and the visibility mask,
+  2. evaluates the Gaussian's colour truncated at every SH degree 0..max
+     (each stage's OUTPUT clamped at 0, the running sum unclamped; stages
+     beyond the Gaussian's own degree stay 0, sh_culling.cu:38-75),
+  3. accumulates transmittance-weighted per-degree colour distances and a
+     West-style weighted running mean/variance of the full colour.
+
+Returns (avg_distances [N, max_deg], variance [N, 1, 3], mean [N, 1, 3]).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import sh as sh_ops
+
+
+def colours_by_degree(features: jnp.ndarray, dirs: jnp.ndarray,
+                      degrees: jnp.ndarray, max_sh_degree: int = 3) -> jnp.ndarray:
+    """[N, max_deg+1, 3] colour at each truncation degree (sh_culling.cu:25-110).
+
+    Stage d output = max(0, SH sum through band d) for d <= degrees[i],
+    zero above (the CUDA kernel early-returns).
+    """
+    basis = sh_ops.sh_basis(dirs, max_sh_degree)              # [N, 16]
+    terms = jnp.einsum("nk,nkc->nkc", basis, features[:, : basis.shape[-1], :],
+                       precision="highest")
+    outs = []
+    running = terms[:, 0, :] + 0.5
+    outs.append(jnp.maximum(running, 0.0))
+    for d in range(1, max_sh_degree + 1):
+        lo, hi = d * d, (d + 1) ** 2
+        running = running + jnp.sum(terms[:, lo:hi, :], axis=1)
+        outs.append(jnp.maximum(running, 0.0))
+    cols = jnp.stack(outs, axis=1)                             # [N, D+1, 3]
+    enabled = (jnp.arange(max_sh_degree + 1)[None, :]
+               <= degrees[:, None])                            # [N, D+1]
+    return jnp.where(enabled[..., None], cols, 0.0)
+
+
+def calculate_colours_variance(
+    cameras,                       # iterable of Camera
+    model,                         # GaussianModel (for rendering)
+    params: dict,
+    degrees: jnp.ndarray,          # [N] int32
+    active_sh_degree: int,
+    alive: Optional[jnp.ndarray] = None,
+):
+    """Reference reduced_3dgs.cu:41-203 semantics over live points."""
+    max_deg = active_sh_degree
+    n = params["xyz"].shape[0]
+    # Degree-masked features, built locally so this op works with any model.
+    coeff_mask = sh_ops.degree_coeff_mask(degrees, sh_ops.MAX_SH_DEGREE)
+    features = jnp.concatenate(
+        [params["features_dc"],
+         params["features_rest"] * coeff_mask[..., None]], axis=1)
+
+    wSum = jnp.zeros((n, 1), jnp.float32)
+    mean = jnp.zeros((n, 1, 3), jnp.float32)
+    variance = jnp.zeros((n, 1, 3), jnp.float32)
+    dist_accum = jnp.zeros((n, max_deg if max_deg > 0 else 1), jnp.float32)
+
+    @jax.jit
+    def accumulate(carry, camera):
+        wSum, mean, variance, dist_accum = carry
+        out = model.render(params, camera, aux={"degrees": degrees},
+                           alive=alive, with_stats=True)
+        present = out["radii"] > 0
+        touched = out["touched_pixels"].astype(jnp.float32)
+        w = (out["transmittance_sum"]
+             / jnp.maximum(touched, 1.0))[:, None]            # [N,1]
+
+        dirs = sh_ops.normalize_dirs(params["xyz"] - camera.camera_center)
+        cols = colours_by_degree(features, dirs, degrees, max_deg)
+        cols = jnp.where(present[:, None, None], cols, 0.0)
+
+        full = cols[:, max_deg, :]                             # [N,3]
+        if max_deg > 0:
+            d = jnp.linalg.norm(full[:, None, :] - cols[:, :max_deg, :],
+                                axis=-1)                       # [N, max_deg]
+            d = jnp.where(jnp.isnan(d), 0.0, d)
+            dist_accum = dist_accum + w * d
+
+        wSum_new = wSum + w
+        coeff = jnp.where(wSum_new > 0, w / wSum_new, 0.0)     # [N,1]
+        mean_old = mean
+        delta = full[:, None, :] - mean_old
+        mean_new = jnp.where(present[:, None, None],
+                             mean_old + coeff[..., None] * delta, mean_old)
+        variance_new = jnp.where(
+            present[:, None, None],
+            variance + w[..., None] * delta * (full[:, None, :] - mean_new),
+            variance)
+        return (wSum_new, mean_new, variance_new, dist_accum)
+
+    carry = (wSum, mean, variance, dist_accum)
+    for camera in cameras:
+        carry = accumulate(carry, camera)
+    wSum, mean, variance, dist_accum = carry
+
+    avg_dist = dist_accum / jnp.maximum(wSum, 1e-20)
+    variance = variance / jnp.maximum(wSum[..., None], 1e-20)
+    return avg_dist, variance, mean

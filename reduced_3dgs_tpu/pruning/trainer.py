@@ -1,0 +1,182 @@
+"""Redundancy ("mercy") pruning.
+
+TPU-native equivalent of /root/reference/reduced_3dgs/pruning/trainer.py:
+resolution-aware redundancy metric (minimum projected pixel size over all
+cameras -> KNN(30) -> sphere/ellipsoid intersection counts -> per-point min
+over intersecting neighbours incl. self) and the mercy-pruning policy
+(threshold mean + lambda*std, min 3; then drop the lower-opacity half of the
+redundant set). Defaults match the reference (pruning/trainer.py:71-77,
+106-136).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dataset.dataset import CameraDataset
+from ..models.gaussian_model import GaussianModel
+from ..ops.knn import knn
+from ..ops.redundancy import (allocate_minimum_redundancy_value,
+                              find_minimum_projected_pixel_size,
+                              sphere_ellipsoid_intersection)
+from ..trainer import (AbstractDensifier, DensificationTrainer, NoopDensifier,
+                       OpacityPruner)
+
+
+def calculate_redundancy_metric(gaussians: GaussianModel,
+                                cameras: CameraDataset,
+                                pixel_scale: float = 1.0,
+                                num_neighbours: int = 30):
+    """Reference pruning/trainer.py:11-42, on live points only."""
+    n = gaussians.num_points
+    xyz = gaussians.get_xyz[:n]
+    full_proj = jnp.stack([cam.full_proj_transform for cam in cameras])
+    inv_proj = jnp.stack([jnp.linalg.inv(cam.full_proj_transform)
+                          for cam in cameras])
+    heights = jnp.array([cam.image_height for cam in cameras], jnp.int32)
+    widths = jnp.array([cam.image_width for cam in cameras], jnp.int32)
+
+    cube_size = find_minimum_projected_pixel_size(
+        full_proj, inv_proj, xyz, heights, widths)
+
+    scaled_pixel_size = cube_size * pixel_scale
+    half_diagonal = scaled_pixel_size * jnp.sqrt(3.0) / 2.0
+
+    _, indices = knn(xyz, num_neighbours)
+
+    counts, mask = sphere_ellipsoid_intersection(
+        xyz, gaussians.get_scaling[:n], gaussians.get_rotation[:n],
+        indices, half_diagonal)
+    # the point itself was not counted: +1 (reference :36)
+    counts = counts + 1
+
+    self_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
+    indices_full = jnp.concatenate([self_idx, indices], axis=1)
+    mask_full = jnp.concatenate([jnp.ones((n, 1), bool), mask], axis=1)
+
+    min_redundancy = allocate_minimum_redundancy_value(
+        counts, indices_full, mask_full, num_points=n)
+    return min_redundancy, cube_size
+
+
+def mercy_points(model: GaussianModel, splatted_num_accum: jnp.ndarray,
+                 lambda_mercy: float = 2.0, mercy_minimum: int = 2,
+                 mercy_type: str = "redundancy_opacity",
+                 rng: np.random.Generator = None) -> jnp.ndarray:
+    """Reference pruning/trainer.py:45-68."""
+    n = splatted_num_accum.shape[0]
+    counts = splatted_num_accum.astype(jnp.float32)
+    mean = jnp.mean(counts)
+    std = jnp.sqrt(jnp.var(counts, ddof=1))
+    threshold = jnp.maximum(mean + lambda_mercy * std, float(mercy_minimum))
+    mask = counts > threshold
+    opacity = model.get_opacity[:n, 0]
+
+    if mercy_type == "redundancy_opacity":
+        med = _masked_median(opacity, mask)
+        mask = mask & (opacity < med)
+    elif mercy_type == "redundancy_random":
+        rng = rng or np.random.default_rng(0)
+        rand = jnp.asarray(rng.random(n).astype(np.float32))
+        mask = mask & (rand < 0.5)
+    elif mercy_type == "opacity":
+        thr = jnp.quantile(opacity, 0.045)
+        mask = opacity < thr
+    elif mercy_type == "redundancy_opacity_opacity":
+        med = _masked_median(opacity, mask)
+        mask = mask & (opacity < med)
+        thr = jnp.minimum(jnp.quantile(opacity, 0.03), 0.05)
+        mask = mask | (opacity < thr)
+    else:
+        raise ValueError(f"unknown mercy_type {mercy_type!r}")
+    return mask
+
+
+def _masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Median of values[mask] (nan-free static-shape formulation)."""
+    v = jnp.where(mask, values, jnp.nan)
+    return jnp.nanmedian(v)
+
+
+def mercy_gaussians(model: GaussianModel, dataset: CameraDataset,
+                    box_size: float = 1.0, lambda_mercy: float = 1.0,
+                    mercy_minimum: int = 3,
+                    mercy_type: str = "redundancy_opacity") -> jnp.ndarray:
+    splatted_num_accum, _ = calculate_redundancy_metric(
+        model, dataset, pixel_scale=box_size)
+    return mercy_points(model, splatted_num_accum, lambda_mercy,
+                        mercy_minimum, mercy_type)
+
+
+class BasePruner(OpacityPruner):
+    """OpacityPruner + redundancy mercy prune (reference
+    pruning/trainer.py:84-103): masks are OR-ed."""
+
+    def __init__(self, base_densifier: AbstractDensifier,
+                 dataset: CameraDataset,
+                 box_size: float = 1.0,
+                 lambda_mercy: float = 1.0,
+                 mercy_minimum: int = 3,
+                 mercy_type: str = "redundancy_opacity",
+                 **configs):
+        super().__init__(base_densifier, dataset, **configs)
+        self.dataset = dataset
+        self.box_size = box_size
+        self.lambda_mercy = lambda_mercy
+        self.mercy_minimum = mercy_minimum
+        self.mercy_type = mercy_type
+
+    def prune(self):
+        remove_mask = mercy_gaussians(
+            self.trainer.model, self.dataset, self.box_size,
+            self.lambda_mercy, self.mercy_minimum, self.mercy_type)
+        return np.asarray(super().prune()) | np.asarray(remove_mask)
+
+
+def PruningDensifierWrapper(
+        base_densifier_constructor: Callable[..., AbstractDensifier],
+        model: GaussianModel, dataset: CameraDataset,
+        box_size: float = 1.0,
+        lambda_mercy: float = 1.0,
+        mercy_minimum: int = 3,
+        mercy_type: str = "redundancy_opacity",
+        # defaults copied from OpacityPruner (reference :115-121)
+        prune_from_iter: int = 1000,
+        prune_until_iter: int = 15000,
+        prune_interval: int = 100,
+        prune_screensize_threshold: float = 20,
+        prune_percent_too_big: float = 1,
+        prune_opacity_threshold: float = 0.005,
+        **configs):
+    return BasePruner(
+        base_densifier_constructor(model, dataset, **configs),
+        dataset,
+        box_size=box_size,
+        lambda_mercy=lambda_mercy,
+        mercy_minimum=mercy_minimum,
+        mercy_type=mercy_type,
+        prune_from_iter=prune_from_iter,
+        prune_until_iter=prune_until_iter,
+        prune_interval=prune_interval,
+        prune_screensize_threshold=prune_screensize_threshold,
+        prune_percent_too_big=prune_percent_too_big,
+        prune_opacity_threshold=prune_opacity_threshold,
+    )
+
+
+def PruningTrainerWrapper(
+        base_densifier_constructor: Callable[..., AbstractDensifier],
+        model: GaussianModel, dataset: CameraDataset, **configs):
+    return DensificationTrainer.from_densifier_constructor(
+        partial(PruningDensifierWrapper, base_densifier_constructor),
+        model, dataset, **configs)
+
+
+def BasePruningTrainer(model: GaussianModel, dataset: CameraDataset, **configs):
+    return PruningTrainerWrapper(
+        lambda model, dataset, **cfg: NoopDensifier(model),
+        model, dataset, **configs)

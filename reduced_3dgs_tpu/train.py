@@ -1,0 +1,166 @@
+"""Training CLI + loop (mirrors /root/reference/reduced_3dgs/train.py).
+
+Usage: python -m reduced_3dgs_tpu.train -s <colmap_dir> -d <out_dir>
+           [--mode densify-pruning-shculling] [--quantize] ...
+"""
+from __future__ import annotations
+
+import json
+import os
+import random
+import shutil
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+from tqdm import tqdm
+
+from .dataset.dataset import prepare_dataset
+from .models.gaussian_model import GaussianModel
+from .prepare import backends, modes, prepare_gaussians, prepare_trainer
+from .quantization import AbstractQuantizer
+from .trainer import AbstractTrainer
+from .utils.math import psnr
+
+
+def save_cfg_args(destination: str, sh_degree: int, source: str):
+    """cfg_args file for reference-ecosystem viewer compatibility
+    (reference train.py:99 / gaussian_splatting.train.save_cfg_args)."""
+    os.makedirs(destination, exist_ok=True)
+    with open(os.path.join(destination, "cfg_args"), "w") as f:
+        f.write("Namespace(data_device='cuda', eval=False, images='images', "
+                f"model_path={destination!r}, resolution=-1, "
+                f"sh_degree={sh_degree}, source_path={source!r}, "
+                "white_background=False)")
+
+
+def prepare_training(sh_degree: int, source: str, device: str, mode: str,
+                     trainable_camera: bool = False, load_ply: str = None,
+                     load_camera: str = None, load_mask: bool = True,
+                     load_depth: bool = True, backend: str = "tpu",
+                     with_scale_reg: bool = False, quantize: bool = False,
+                     load_quantized: str = None, configs=None):
+    dataset = prepare_dataset(source=source, device=device,
+                              trainable_camera=trainable_camera,
+                              load_camera=load_camera, load_mask=load_mask,
+                              load_depth=load_depth)
+    gaussians = prepare_gaussians(sh_degree=sh_degree, source=source,
+                                  device=device,
+                                  trainable_camera=trainable_camera,
+                                  load_ply=load_ply, backend=backend)
+    trainer, quantizer = prepare_trainer(gaussians=gaussians, dataset=dataset,
+                                         mode=mode,
+                                         with_scale_reg=with_scale_reg,
+                                         quantize=quantize,
+                                         load_quantized=load_quantized,
+                                         configs=configs)
+    return dataset, gaussians, trainer, quantizer
+
+
+def training(dataset, gaussians: GaussianModel, trainer: AbstractTrainer,
+             quantizer: AbstractQuantizer, destination: str, iteration: int,
+             save_iterations: List[int], device: str = "tpu",
+             empty_cache_every_step: bool = False, log_interval: int = 10):
+    del empty_cache_every_step  # XLA manages memory; flag kept for CLI parity
+    shutil.rmtree(os.path.join(destination, "point_cloud"), ignore_errors=True)
+    pbar = tqdm(range(1, iteration + 1), dynamic_ncols=True, desc="Training")
+    epoch = list(range(len(dataset)))
+    epoch_psnr, epoch_maskpsnr = [], []
+    ema_loss, avg_psnr, avg_maskpsnr = 0.0, 0.0, 0.0
+
+    def save(step):
+        save_path = os.path.join(destination, "point_cloud",
+                                 f"iteration_{step}")
+        os.makedirs(save_path, exist_ok=True)
+        gaussians.save_ply(os.path.join(save_path, "point_cloud.ply"))
+        dataset.save_cameras(os.path.join(destination, "cameras.json"))
+        if quantizer:
+            quantizer.save_quantized(
+                gaussians, os.path.join(save_path, "point_cloud_quantized.ply"))
+
+    for step in pbar:
+        epoch_idx = step % len(dataset)
+        if epoch_idx == 0:
+            avg_psnr = float(np.mean(epoch_psnr)) if epoch_psnr else 0.0
+            avg_maskpsnr = (float(np.mean(epoch_maskpsnr))
+                            if epoch_maskpsnr else 0.0)
+            epoch_psnr, epoch_maskpsnr = [], []
+            random.shuffle(epoch)
+        idx = epoch[epoch_idx]
+        camera = dataset[idx]
+        loss, out = trainer.step(camera)
+        gt = camera.ground_truth_image
+        if gt is not None:
+            epoch_psnr.append(float(psnr(out["render"], gt).mean()))
+            if camera.ground_truth_image_mask is not None:
+                m = camera.ground_truth_image_mask
+                epoch_maskpsnr.append(
+                    float(psnr(out["render"] * m, gt * m).mean()))
+        ema_loss = 0.4 * float(loss) + 0.6 * ema_loss
+        if step % log_interval == 0:
+            postfix = {"epoch": step // len(dataset), "loss": ema_loss,
+                       "psnr": avg_psnr, "n": gaussians.num_points}
+            if avg_maskpsnr > 0:
+                postfix["masked psnr"] = avg_maskpsnr
+            pbar.set_postfix(postfix)
+        if step in save_iterations:
+            save(step)
+    save(iteration)
+
+
+def main(argv=None):
+    from argparse import ArgumentParser
+    parser = ArgumentParser()
+    parser.add_argument("--sh_degree", default=3, type=int)
+    parser.add_argument("--backend", choices=backends, default="tpu")
+    parser.add_argument("-s", "--source", required=True, type=str)
+    parser.add_argument("-d", "--destination", required=True, type=str)
+    parser.add_argument("-i", "--iteration", default=30000, type=int)
+    parser.add_argument("-l", "--load_ply", default=None, type=str)
+    parser.add_argument("--load_camera", default=None, type=str)
+    parser.add_argument("--quantize", action="store_true")
+    parser.add_argument("--no_image_mask", action="store_true")
+    parser.add_argument("--no_depth_data", action="store_true")
+    parser.add_argument("--with_scale_reg", action="store_true")
+    parser.add_argument("--load_quantized", default=None, type=str)
+    parser.add_argument("--mode", choices=list(modes),
+                        default="densify-pruning-shculling")
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=[7000, 30000])
+    parser.add_argument("--device", default="tpu", type=str)
+    parser.add_argument("--empty_cache_every_step", action="store_true")
+    parser.add_argument("-o", "--option", default=[], action="append",
+                        type=str)
+    args = parser.parse_args(argv)
+    save_cfg_args(args.destination, args.sh_degree, args.source)
+
+    # -o key=value free-form overrides. Values are parsed as python literals
+    # (the reference eval()s them, train.py:102; literal_eval is the safe
+    # equivalent), falling back to the raw string.
+    import ast
+    configs = {}
+    for o in args.option:
+        k, v = o.split("=", 1)
+        try:
+            configs[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            configs[k] = v
+
+    dataset, gaussians, trainer, quantizer = prepare_training(
+        sh_degree=args.sh_degree, source=args.source, device=args.device,
+        mode=args.mode, trainable_camera="camera" in args.mode,
+        load_ply=args.load_ply, load_camera=args.load_camera,
+        load_mask=not args.no_image_mask, load_depth=not args.no_depth_data,
+        backend=args.backend, with_scale_reg=args.with_scale_reg,
+        quantize=args.quantize, load_quantized=args.load_quantized,
+        configs=configs)
+    dataset.save_cameras(os.path.join(args.destination, "cameras.json"))
+    training(dataset=dataset, gaussians=gaussians, trainer=trainer,
+             quantizer=quantizer, destination=args.destination,
+             iteration=args.iteration, save_iterations=args.save_iterations,
+             device=args.device,
+             empty_cache_every_step=args.empty_cache_every_step)
+
+
+if __name__ == "__main__":
+    main()

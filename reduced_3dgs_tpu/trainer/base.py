@@ -1,0 +1,306 @@
+"""BaseTrainer / Trainer: the training engine.
+
+TPU-native equivalent of the reference base package's `BaseTrainer` (fixed
+learning rates) and `Trainer` (= BaseTrainer + the vanilla-3DGS xyz
+exponential LR schedule and SH-degree warm-up), per SURVEY.md section 1.4.
+Loss is the standard 3DGS (1-lambda)*L1 + lambda*(1-SSIM), lambda=0.2.
+
+The engine owns capacity-padded parameters, Adam state and densification
+accumulators, and runs one fused jitted step: render -> loss -> grads ->
+Adam -> accumulator update. Recompiles happen only per distinct
+(capacity, image size, active SH degree, key-buffer size) tuple.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..dataset.camera import Camera
+from ..ops.ssim import ssim
+from ..ops.rasterize.tiled import default_key_buffer_size
+from ..utils.math import l1_loss
+from ..utils.schedule import get_expon_lr_func
+from . import functional as F
+from .abc import AbstractTrainer
+from .optimizer import AdamState, adam_init, adam_update
+
+
+class BaseTrainer(AbstractTrainer):
+    """Engine trainer with fixed learning rates."""
+
+    def __init__(
+        self, model, dataset=None, *,
+        spatial_lr_scale: Optional[float] = None,
+        lambda_dssim: float = 0.2,
+        position_lr_init: float = 0.00016,
+        feature_lr: float = 0.0025,
+        opacity_lr: float = 0.05,
+        scaling_lr: float = 0.005,
+        rotation_lr: float = 0.001,
+        key_buffer_factor: int = 6,
+        **unused_configs,
+    ):
+        self._model = model
+        self.dataset = dataset
+        if spatial_lr_scale is None:
+            if dataset is not None and len(dataset) > 0:
+                spatial_lr_scale = dataset.scene_extent()
+            else:
+                spatial_lr_scale = getattr(model, "spatial_lr_scale", 1.0)
+        self.spatial_lr_scale = float(spatial_lr_scale)
+        self.lambda_dssim = lambda_dssim
+        self.position_lr_init = position_lr_init
+        self.feature_lr = feature_lr
+        self.opacity_lr = opacity_lr
+        self.scaling_lr = scaling_lr
+        self.rotation_lr = rotation_lr
+        self.key_buffer_factor = key_buffer_factor
+
+        self._curr_step = 0
+        self._step_fns: Dict = {}
+
+        # Capacity-padded state
+        n = model.num_points
+        self.capacity = F.bucket_capacity(max(n, 1))
+        params = F.pad_axis0(model.parameters(), self.capacity)
+        model.set_parameters(params)
+        model._n_alive = n
+        model.aux_set(F.pad_axis0(model.aux_state(), self.capacity))
+        self.n_alive = jnp.asarray(n, jnp.int32)
+        self.adam: AdamState = adam_init(params)
+        self.xyz_grad_accum = jnp.zeros((self.capacity,), jnp.float32)
+        self.xyz_grad_denom = jnp.zeros((self.capacity,), jnp.int32)
+        self.max_radii2d = jnp.zeros((self.capacity,), jnp.float32)
+        self._last_step_io_engine = None
+        self._key_buffer_size: Dict = {}
+
+    # ------------------------------------------------------------------ api
+    @property
+    def engine(self):
+        return self
+
+    @property
+    def model(self):
+        return self._model
+
+    @property
+    def curr_step(self) -> int:
+        return self._curr_step
+
+    @curr_step.setter
+    def curr_step(self, v: int):
+        self._curr_step = int(v)
+
+    # ----------------------------------------------------------------- loss
+    def loss_pure(self):
+        lam = self.lambda_dssim
+
+        def photometric(params, aux, out, camera, extras):
+            del params, aux, extras
+            render = out["render"]
+            gt = camera.ground_truth_image
+            if camera.ground_truth_image_mask is not None:
+                render = render * camera.ground_truth_image_mask
+                gt = gt * camera.ground_truth_image_mask
+            return (1.0 - lam) * l1_loss(render, gt) + lam * (1.0 - ssim(render, gt))
+
+        return photometric
+
+    # ------------------------------------------------------------ schedules
+    def xyz_lr(self) -> float:
+        return self.position_lr_init * self.spatial_lr_scale
+
+    def maybe_advance_schedules(self):
+        """Called once per step before the update (Trainer adds behavior)."""
+        return None
+
+    def lr_tree(self, params):
+        lrs = {
+            "xyz": jnp.float32(self.xyz_lr()),
+            "features_dc": self.feature_lr,
+            "features_rest": self.feature_lr / 20.0,
+            "opacity": self.opacity_lr,
+            "scaling": self.scaling_lr,
+            "rotation": self.rotation_lr,
+        }
+        return {k: lrs.get(k, 0.0) for k in params}
+
+    # --------------------------------------------------------------- update
+    def _cache_key(self, camera: Camera, loss_fn, key_buffer: int, camera_apply):
+        mask_shape = (None if camera.ground_truth_image_mask is None
+                      else camera.ground_truth_image_mask.shape)
+        return (self.capacity, camera.image_height, camera.image_width,
+                self.model.active_sh_degree, key_buffer, id(loss_fn), mask_shape,
+                id(camera_apply))
+
+    def _build_step_fn(self, loss_fn, key_buffer: int, camera_apply=None):
+        model = self.model
+
+        @functools.partial(jax.jit, donate_argnums=(0, 2, 3, 4, 5))
+        def step_fn(params, aux, adam, xyz_accum, denom, max_radii,
+                    camera, n_alive, lr_xyz, extras, cam_params):
+            c = params["xyz"].shape[0]
+            alive = F.alive_mask(c, n_alive)
+            offset0 = jnp.zeros((c, 2), jnp.float32)
+
+            def lf(diff):
+                p, off, cp = diff
+                cam = camera_apply(camera, cp) if camera_apply is not None else camera
+                out = model.render(p, cam, aux=aux, alive=alive,
+                                   mean2d_offset_ndc=off,
+                                   key_buffer_size=key_buffer)
+                return loss_fn(p, aux, out, cam, extras), out
+
+            (loss, out), grads = jax.value_and_grad(lf, has_aux=True)(
+                (params, offset0, cam_params))
+            gparams, goff, gcam = grads
+            gparams = F.mask_rows(gparams, alive)
+
+            lr_tree = dict(self.lr_tree(params))
+            lr_tree["xyz"] = lr_xyz
+            new_params, new_adam = adam_update(params, gparams, adam, lr_tree)
+
+            radii = out["radii"]
+            visible = (radii > 0) & alive
+            vs_norm = jnp.linalg.norm(goff, axis=-1)
+            xyz_accum = xyz_accum + jnp.where(visible, vs_norm, 0.0)
+            denom = denom + visible.astype(jnp.int32)
+            max_radii = jnp.maximum(max_radii, jnp.where(visible, radii, 0))
+
+            out = dict(out)
+            out["visibility_filter"] = visible
+            out["viewspace_grad_norm"] = vs_norm
+            return (new_params, new_adam, xyz_accum, denom, max_radii,
+                    loss, out, gcam)
+
+        return step_fn
+
+    def key_buffer_for(self, camera: Camera) -> int:
+        tiles_x = -(-camera.image_width // 16)
+        tiles_y = -(-camera.image_height // 16)
+        hw = (camera.image_height, camera.image_width)
+        if hw not in self._key_buffer_size:
+            base = default_key_buffer_size(self.capacity, tiles_x, tiles_y)
+            self._key_buffer_size[hw] = max(
+                base, self.key_buffer_factor * self.capacity)
+        return min(self._key_buffer_size[hw],
+                   max(self.capacity, 1) * tiles_x * tiles_y)
+
+    def grow_key_buffer(self, camera: Camera):
+        hw = (camera.image_height, camera.image_width)
+        tiles = (-(-camera.image_width // 16)) * (-(-camera.image_height // 16))
+        self._key_buffer_size[hw] = min(self.key_buffer_for(camera) * 2,
+                                        max(self.capacity, 1) * tiles)
+
+    def update(self, outer: AbstractTrainer, camera: Camera):
+        """Fused grads+Adam step using the outermost composed loss."""
+        self.maybe_advance_schedules()
+        loss_fn = outer.loss_pure()
+        adj = outer.camera_adjustment(camera)
+        cam_params, camera_apply, consume_cam_grads = (
+            adj if adj is not None else ({}, None, None))
+        key_buffer = self.key_buffer_for(camera)
+        key = self._cache_key(camera, loss_fn, key_buffer, camera_apply)
+        if key not in self._step_fns:
+            self._step_fns[key] = self._build_step_fn(loss_fn, key_buffer,
+                                                      camera_apply)
+        params = self.model.parameters()
+        aux = self.model.aux_state()
+        (new_params, new_adam, xyz_accum, denom, max_radii, loss, out, gcam
+         ) = self._step_fns[key](
+            params, aux, self.adam, self.xyz_grad_accum,
+            self.xyz_grad_denom, self.max_radii2d, camera,
+            self.n_alive, jnp.float32(self.xyz_lr()), outer.loss_scalars(),
+            cam_params)
+        if consume_cam_grads is not None:
+            consume_cam_grads(gcam)
+        if "overflow" in out and bool(out["overflow"]):
+            # This step trained on a truncated entry list (still a valid
+            # partial gradient); grow the buffer so subsequent steps see the
+            # full list — mirrors the reference's lazy buffer resize.
+            self.grow_key_buffer(camera)
+        self.model.set_parameters(new_params)
+        self.adam = new_adam
+        self.xyz_grad_accum, self.xyz_grad_denom = xyz_accum, denom
+        self.max_radii2d = max_radii
+        self._curr_step += 1
+        self._last_step_io_engine = (loss, out, camera)
+        return loss, out
+
+    # -------------------------------------------------- densification plumbing
+    def state_trees(self):
+        """All [C, ...] trees that must move together on add/remove."""
+        return {
+            "params": self.model.parameters(),
+            "adam_m": self.adam.m,
+            "adam_v": self.adam.v,
+            "aux": self.model.aux_state(),
+            "accum": {
+                "xyz_grad_accum": self.xyz_grad_accum,
+                "denom": self.xyz_grad_denom,
+                "max_radii2d": self.max_radii2d,
+            },
+        }
+
+    def set_state_trees(self, trees, n_alive):
+        self.model.set_parameters(trees["params"])
+        self.adam = AdamState(count=self.adam.count, m=trees["adam_m"],
+                              v=trees["adam_v"])
+        self.model.aux_set(trees["aux"])
+        self.xyz_grad_accum = trees["accum"]["xyz_grad_accum"]
+        self.xyz_grad_denom = trees["accum"]["denom"]
+        self.max_radii2d = trees["accum"]["max_radii2d"]
+        self.n_alive = jnp.asarray(n_alive, jnp.int32)
+        self.model._n_alive = int(n_alive)
+
+    def grow_capacity(self, min_capacity: int):
+        new_cap = F.bucket_capacity(min_capacity)
+        if new_cap <= self.capacity:
+            return
+        trees = F.pad_axis0(self.state_trees(), new_cap)
+        self.capacity = new_cap
+        self._step_fns.clear()
+        self._key_buffer_size.clear()
+        self.set_state_trees(trees, int(self.n_alive))
+
+    def reset_densification_stats(self):
+        self.xyz_grad_accum = jnp.zeros_like(self.xyz_grad_accum)
+        self.xyz_grad_denom = jnp.zeros_like(self.xyz_grad_denom)
+        self.max_radii2d = jnp.zeros_like(self.max_radii2d)
+
+    def alive(self) -> jnp.ndarray:
+        return F.alive_mask(self.capacity, self.n_alive)
+
+
+class Trainer(BaseTrainer):
+    """BaseTrainer + vanilla schedules: exponential xyz LR decay and the SH
+    degree warm-up (one band every 1000 steps)."""
+
+    def __init__(self, model, dataset=None, *,
+                 position_lr_init: float = 0.00016,
+                 position_lr_final: float = 0.0000016,
+                 position_lr_delay_mult: float = 0.01,
+                 position_lr_max_steps: int = 30_000,
+                 sh_degree_up_interval: int = 1000,
+                 **configs):
+        super().__init__(model, dataset, position_lr_init=position_lr_init,
+                         **configs)
+        self.sh_degree_up_interval = sh_degree_up_interval
+        self._xyz_sched = get_expon_lr_func(
+            lr_init=position_lr_init * self.spatial_lr_scale,
+            lr_final=position_lr_final * self.spatial_lr_scale,
+            lr_delay_mult=position_lr_delay_mult,
+            max_steps=position_lr_max_steps)
+        model.active_sh_degree = 0
+
+    def xyz_lr(self) -> float:
+        return self._xyz_sched(self._curr_step)
+
+    def maybe_advance_schedules(self):
+        if (self._curr_step > 0
+                and self._curr_step % self.sh_degree_up_interval == 0
+                and self.model.active_sh_degree < self.model.max_sh_degree):
+            self.model.active_sh_degree += 1
