@@ -1,0 +1,97 @@
+"""Benchmark: fused train-step throughput of the tiled renderer on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The scene is synthetic (no dataset ships with the image): N Gaussians spread
+in front of the camera at a real training resolution. The metric is
+rays(pixels)/s through the FULL fused training step (render + loss + backward
++ Adam), which is the quantity the reference's training loop is bound by.
+
+vs_baseline: the reference publishes no benchmark tables
+(/root/repo/BASELINE.md — "published": {}); its only quantitative claim is a
+x1.7 render speedup over vanilla 3DGS on unspecified hardware, which is not
+comparable to a fwd+bwd step. We report vs_baseline as the ratio against a
+fixed pinned target of 50M pixels/s fwd+bwd per chip (our own north star for
+this scene size), so the number is trackable across rounds.
+"""
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+PINNED_TARGET_PIX_S = 50e6
+
+N_GAUSSIANS = int(os.environ.get("BENCH_N", 200_000))
+HEIGHT = int(os.environ.get("BENCH_H", 544))
+WIDTH = int(os.environ.get("BENCH_W", 976))
+STEPS = int(os.environ.get("BENCH_STEPS", 20))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from reduced_3dgs_tpu.dataset import CameraDataset, build_camera
+    from reduced_3dgs_tpu.shculling import VariableSHGaussianModel
+    from reduced_3dgs_tpu.trainer import Trainer
+
+    n = N_GAUSSIANS
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    xyz = jnp.concatenate([
+        jax.random.uniform(ks[0], (n, 2), minval=-1.2, maxval=1.2),
+        3.5 + jax.random.uniform(ks[1], (n, 1), minval=-1.5, maxval=1.5)], 1)
+    feats = jax.random.normal(ks[2], (n, 16, 3)) * 0.2
+    model = VariableSHGaussianModel(3)
+    model.set_parameters(dict(
+        xyz=xyz, features_dc=feats[:, :1] + 0.4, features_rest=feats[:, 1:],
+        scaling=jax.random.uniform(ks[3], (n, 3), minval=-5.5, maxval=-4.0),
+        rotation=(jax.random.normal(ks[4], (n, 4)) * 0.1
+                  + jnp.array([1.0, 0, 0, 0])),
+        opacity=jax.random.uniform(ks[5], (n, 1), minval=-2.0, maxval=2.0)))
+    model.init_degrees()
+    model.active_sh_degree = 3
+
+    cam = build_camera(image_height=HEIGHT, image_width=WIDTH,
+                       FoVx=math.radians(70), FoVy=math.radians(45))
+    gt = jnp.clip(model(cam)["render"], 0, 1)
+    cam = cam.replace(ground_truth_image=gt)
+    ds = CameraDataset([cam])
+
+    trainer = Trainer(model, ds)
+    trainer.model.active_sh_degree = 3  # bench the full-SH path
+
+    # warmup / compile
+    loss, out = trainer.step(cam)
+    jax.block_until_ready(out["render"])
+    num_rendered = int(out.get("num_rendered", 0))
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        loss, out = trainer.step(cam)
+    jax.block_until_ready(out["render"])
+    dt = (time.perf_counter() - t0) / STEPS
+
+    pix_per_s = HEIGHT * WIDTH / dt
+    result = {
+        "metric": "train_step_pixels_per_s",
+        "value": round(pix_per_s, 1),
+        "unit": "pixels/s (fwd+bwd+adam, single chip)",
+        "vs_baseline": round(pix_per_s / PINNED_TARGET_PIX_S, 4),
+        "detail": {
+            "n_gaussians": n,
+            "resolution": [HEIGHT, WIDTH],
+            "step_ms": round(dt * 1e3, 2),
+            "num_rendered": num_rendered,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -69,16 +69,33 @@ def render_tiled(
     with_stats: bool = False,
     key_buffer_size: Optional[int] = None,
     pixel_chunk: int = 64,
+    tile_row_offset=None,
+    tile_rows: Optional[int] = None,
 ):
     """Render an image through the tiled pipeline.
 
     Returns the same dict as `render_reference` plus "overflow" (bool) and
     "num_rendered" (int32).
+
+    Viewport mode (multi-chip pixel sharding): when `tile_rows` is given,
+    only the horizontal band of `tile_rows` tile rows starting at traced
+    `tile_row_offset` is rendered; "render"/"final_T"/"depth" then cover
+    the band (height tile_rows*16, cropped to the image's right edge only).
+    The projection is that of the FULL image — a band is a crop, not a
+    separate camera.
     """
     assert config.BLOCK_SIZE % pixel_chunk == 0, "pixel_chunk must divide 256"
     N = means3d.shape[0]
     H, W = settings.image_height, settings.image_width
-    tiles_x, tiles_y = common.tile_grid(settings)
+    tiles_x, full_tiles_y = common.tile_grid(settings)
+    if tile_rows is None:
+        tiles_y = full_tiles_y
+        tile_row_offset = jnp.int32(0)
+        out_h = H
+    else:
+        tiles_y = int(tile_rows)
+        tile_row_offset = jnp.asarray(tile_row_offset, jnp.int32)
+        out_h = tiles_y * config.BLOCK_Y
     num_tiles = tiles_x * tiles_y
     K = key_buffer_size or default_key_buffer_size(N, tiles_x, tiles_y)
 
@@ -88,7 +105,14 @@ def render_tiled(
                             colors_precomp=colors_precomp,
                             cov3d_precomp=cov3d_precomp)
 
-    counts = pre.tiles_touched                            # [N] int32
+    # Band-clip the tile rect in y (full-image mode: offset 0, full rows).
+    band_rmin_y = jnp.clip(pre.rect_min[:, 1] - tile_row_offset, 0, tiles_y)
+    band_rmax_y = jnp.clip(pre.rect_max[:, 1] - tile_row_offset, 0, tiles_y)
+    rect_w = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1)
+    band_h_tiles = jnp.maximum(band_rmax_y - band_rmin_y, 0)
+    counts = jnp.where(pre.tiles_touched > 0,
+                       (pre.rect_max[:, 0] - pre.rect_min[:, 0]) * band_h_tiles,
+                       0).astype(jnp.int32)               # [N]
     offsets = jnp.cumsum(counts) - counts                 # exclusive
     total = offsets[-1] + counts[-1]
     overflow = total > K
@@ -100,9 +124,8 @@ def render_tiled(
     ordinal = pos - offsets[gidx]
     entry_valid = (ordinal >= 0) & (ordinal < counts[gidx]) & (pos < total)
 
-    rect_w = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1)
     tx = pre.rect_min[gidx, 0] + ordinal % rect_w[gidx]
-    ty = pre.rect_min[gidx, 1] + ordinal // rect_w[gidx]
+    ty = band_rmin_y[gidx] + ordinal // rect_w[gidx]
     tile_id = jnp.where(entry_valid, ty * tiles_x + tx, num_tiles)
 
     depth_key = jnp.where(entry_valid, pre.depths[gidx], jnp.inf)
@@ -125,7 +148,8 @@ def render_tiled(
     e_rgb = pre.rgb[s_gidx]                                # [K,3]
     e_depth = pre.depths[s_gidx]                           # [K]
     e_tile_x = (s_tile % tiles_x).astype(jnp.float32) * config.BLOCK_X
-    e_tile_y = jnp.minimum(s_tile // tiles_x, tiles_y - 1).astype(jnp.float32) * config.BLOCK_Y
+    e_tile_y = ((jnp.minimum(s_tile // tiles_x, tiles_y - 1)
+                 + tile_row_offset).astype(jnp.float32) * config.BLOCK_Y)
 
     seg_ids = jnp.minimum(s_tile, num_tiles)               # [K], sentinel bucket
 
@@ -196,12 +220,13 @@ def render_tiled(
     # --- stitch tiles back into the image and crop padding -----------------
     padded_h = tiles_y * config.BLOCK_Y
     padded_w = tiles_x * config.BLOCK_X
+    crop_h = H if tile_rows is None else padded_h
 
     def stitch(tile_vals):
         extra = tile_vals.shape[2:]
         x = tile_vals.reshape(tiles_y, tiles_x, config.BLOCK_Y, config.BLOCK_X, *extra)
         x = jnp.moveaxis(x, 2, 1).reshape(padded_h, padded_w, *extra)
-        return x[:H, :W]
+        return x[:crop_h, :W]
 
     T_full = stitch(T_img_tiles)
     color_full = stitch(colors)

@@ -1,18 +1,22 @@
 """Multi-chip scaling via jax.sharding + shard_map.
 
-The reference is single-process single-GPU (SURVEY.md section 2.5) — this
+The reference is single-process single-GPU (SURVEY.md section 2.5); this
 subsystem is new, TPU-first design:
 
-  * mesh axes ("data", "tile"): "data" parallelises over cameras (each data
-    row trains a different view; parameter gradients are psum-ed), "tile"
-    parallelises pixels WITHIN a camera (each tile rank renders a horizontal
-    band of tile rows with Gaussians replicated; gradients psum over the
-    band axis too — rendering is additive over pixels so this is exact).
-  * collectives ride ICI: gradient psum over both axes; densification
-    events operate on replicated state so no resharding is needed.
-
-The band decomposition reuses the single-chip tiled renderer unchanged: a
-band is just a smaller image whose tile grid is a slice of the full grid.
+  * mesh ("data", "tile"): the "data" axis parallelises over cameras (pure
+    data parallelism — each data rank trains a different view), the "tile"
+    axis parallelises PIXELS within a camera (each tile rank rasterises a
+    horizontal band of tile rows with Gaussians replicated; this is the
+    scene-scale analog of sequence parallelism).
+  * Per-band rendering reuses the single-chip tiled renderer's viewport mode
+    (ops/rasterize/tiled.py) — a band is a crop of the full tile grid, so
+    banding is exact, not an approximation.
+  * The rendered bands are all-gathered over the "tile" axis (an image is
+    tiny next to the per-Gaussian work) so the photometric loss — including
+    SSIM, whose 11x11 window straddles band boundaries — is computed on the
+    full image, bitwise identical to single-chip. Gradients: psum/pmean over
+    both axes, riding ICI. Densification events operate on replicated state,
+    so no resharding is needed.
 """
 from __future__ import annotations
 
@@ -22,199 +26,146 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import config
 from ..dataset.camera import Camera
-from ..trainer.base import Trainer
 from ..trainer import functional as F
+from ..trainer.base import Trainer
 from ..trainer.optimizer import adam_update
 
 
 def make_mesh(n_data: Optional[int] = None, n_tile: int = 1,
               devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
+    devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if n_data is None:
         n_data = n // n_tile
     assert n_data * n_tile == n, (n_data, n_tile, n)
-    dev_array = np.asarray(devices).reshape(n_data, n_tile)
-    return Mesh(dev_array, ("data", "tile"))
+    return Mesh(np.asarray(devices).reshape(n_data, n_tile), ("data", "tile"))
 
 
-def _band_camera(camera: Camera, band_idx, n_bands: int) -> tuple:
-    """Slice a camera's image into a horizontal band of tile rows.
-
-    Returns (band_camera, row0) where row0 is the first pixel row. The
-    projection matrices are unchanged — the band renderer gets the full
-    transforms and a pixel-row offset; only the ground-truth is sliced.
-    """
-    tiles_y = -(-camera.image_height // config.BLOCK_Y)
-    rows_per_band = -(-tiles_y // n_bands) * config.BLOCK_Y
-    return rows_per_band
+def batch_cameras(cameras) -> Camera:
+    """Stack same-size cameras into one batched Camera pytree (leading axis =
+    data rank)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *cameras)
 
 
-def render_sharded(model, params, camera: Camera, mesh: Mesh,
-                   aux=None, alive=None, **kwargs):
-    """Render one camera with pixels sharded over the 'tile' mesh axis.
+def cameras_first(cameras) -> Camera:
+    return jax.tree.map(
+        lambda x: x[0] if hasattr(x, "ndim") and x.ndim > 0 else x, cameras)
 
-    Gaussians (params) are replicated; every tile rank culls to its own
-    band. The output image is gathered back (it is small compared to the
-    per-Gaussian work).
-    """
-    n_tile = mesh.shape["tile"]
-    H, W = camera.image_height, camera.image_width
-    tiles_y = -(-H // config.BLOCK_Y)
+
+def band_layout(image_height: int, n_tile: int):
+    """(tile rows per band, band pixel height, padded full height)."""
+    tiles_y = -(-image_height // config.BLOCK_Y)
     band_tiles = -(-tiles_y // n_tile)
     band_h = band_tiles * config.BLOCK_Y
-    padded_h = band_h * n_tile
-
-    gt = camera.ground_truth_image
-
-    def one_band(band_idx):
-        row0 = band_idx * band_h
-        # Shift the projection so the band is the image: ndc2pix_y(v) - row0.
-        # Equivalent: render the full image height but only this band's tile
-        # rows. We express it by rendering a band-sized image with a y offset
-        # folded into the NDC->pixel mapping via a modified camera height:
-        # simplest correct approach: render full image, slice. To keep the
-        # compute local we instead offset pixel coordinates inside the tiled
-        # renderer via rect clipping: here we render the full-height image on
-        # each rank only when n_tile == 1.
-        raise NotImplementedError
-
-    # Practical implementation: the tiled renderer already works per-tile;
-    # we shard by assigning each rank a contiguous range of tile rows. This
-    # is realised by rendering with a viewport crop.
-    from ..ops.rasterize.tiled import render_tiled
-    from ..ops.rasterize.common import RenderSettings
-
-    settings = model.render_settings(camera)
-
-    @functools.partial(
-        jax.shard_map, mesh=mesh, in_specs=(P(), P("tile")),
-        out_specs=P("tile"), check_vma=False)
-    def band_render(args, band_row0):
-        p, aux_, alive_ = args
-        row0 = band_row0[0]
-        out = _render_band(model, p, aux_, alive_, settings, row0, band_h,
-                           **kwargs)
-        return out[None]  # band axis
-
-    band_row0s = jnp.arange(n_tile, dtype=jnp.int32) * band_h
-    bands = band_render((params, aux, alive), band_row0s)
-    img = bands.reshape(n_tile * band_h, W, 3)[:H]
-    return img.transpose(2, 0, 1)
-
-
-def _render_band(model, params, aux, alive, settings, row0, band_h, **kwargs):
-    """Render a horizontal pixel band [row0, row0+band_h) of the image."""
-    from ..ops.rasterize import tiled as T
-    from ..ops.rasterize.common import RenderSettings
-
-    # A band is an image of height band_h whose pixel y coordinates are
-    # offset by row0. ndc2pix uses the FULL image height; we keep the full
-    # projection and pass a y-offset through the mean2d pixel coordinates by
-    # shifting means2d after preprocess — implemented via a shifted-vertical
-    # crop equivalent: render with full height settings but restrict tiles.
-    # The clean mechanism: render_tiled on a band-camera whose ndc2pix(v, H)
-    # is unchanged but whose tile grid starts at row0/BLOCK_Y. We express
-    # that by translating means2d down by row0 pixels.
-    H, W = settings.image_height, settings.image_width
-    band_settings = settings._replace(image_height=band_h)
-    offset = jnp.zeros((params["xyz"].shape[0], 2), jnp.float32)
-    # translate the projected centers up by row0: equivalent to cropping
-    ndc_shift = -2.0 * row0 / H  # pixel shift -> ndc shift (y)
-    # ndc2pix uses band_h for the band image; correct for the height change:
-    # pix_band(v) = ((v+1)*band_h-1)/2 ; we want pix_full(v)-row0
-    #             = ((v+1)*H-1)/2 - row0 = ((v')*band_h... solve via offset:
-    # ((v+dv+1)*band_h-1)/2 = ((v+1)*H-1)/2 - row0
-    # => dv = ((v+1)*(H-band_h) - 2*row0)/band_h  (depends on v) — not a
-    # constant shift, so instead scale: we pass the full H to preprocess via
-    # a custom pixel mapping. Implemented in tiled.render_tiled via
-    # `viewport` support.
-    out = T.render_tiled(
-        params["xyz"], params["opacity"],
-        model.scaling_activation(params["scaling"]),
-        params["rotation"] / jnp.maximum(
-            jnp.linalg.norm(params["rotation"], axis=-1, keepdims=True), 1e-12),
-        model.masked_features(params, aux),
-        settings, alive=alive, viewport_row0=row0, viewport_rows=band_h,
-        **kwargs)
-    return out["band_image"]
+    return band_tiles, band_h, band_h * n_tile
 
 
 class ShardedTrainer(Trainer):
-    """Data-parallel trainer: each device trains on a different camera per
-    step; parameter gradients are psum-ed over the mesh. Gaussians and all
-    optimizer state are replicated (the model fits per chip; scaling axis is
-    throughput over cameras)."""
+    """Camera-data-parallel x pixel-band-parallel trainer.
+
+    step() takes a batched Camera pytree with a leading axis of size
+    mesh.shape["data"] (see batch_cameras). Parameters, optimizer state and
+    accumulators are replicated; gradients are pmean-ed over the whole mesh.
+    """
 
     def __init__(self, model, dataset=None, mesh: Optional[Mesh] = None,
                  **configs):
         super().__init__(model, dataset, **configs)
-        self.mesh = mesh or make_mesh(n_data=len(jax.devices()), n_tile=1)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            n_data=len(jax.devices()), n_tile=1)
+
+    def _cache_key(self, camera, loss_fn, key_buffer, camera_apply):
+        return super()._cache_key(camera, loss_fn, key_buffer, camera_apply) + (
+            self.mesh.shape["data"], self.mesh.shape["tile"])
 
     def _build_step_fn(self, loss_fn, key_buffer: int, camera_apply=None):
+        del camera_apply  # trainable cameras not yet supported in sharded mode
         model = self.model
         mesh = self.mesh
-        n_dev = mesh.shape["data"] * mesh.shape["tile"]
+        n_tile = mesh.shape["tile"]
 
         @functools.partial(jax.jit, donate_argnums=(0, 2, 3, 4, 5))
         def step_fn(params, aux, adam, xyz_accum, denom, max_radii,
                     cameras, n_alive, lr_xyz, extras, cam_params):
+            del cam_params
             c = params["xyz"].shape[0]
             alive = F.alive_mask(c, n_alive)
-
-            flat_spec = P(("data", "tile"))
+            camera0 = cameras_first(cameras)
+            H, W = camera0.image_height, camera0.image_width
+            band_tiles, band_h, padded_h = band_layout(H, n_tile)
 
             @functools.partial(
                 jax.shard_map, mesh=mesh,
-                in_specs=(P(), P(), P(), flat_spec, P()),
-                out_specs=(P(), P(), flat_spec),
+                in_specs=(P(), P(), P(), P("data"), P()),
+                out_specs=(P(), P(), P("data")),
                 check_vma=False)
-            def device_grads(p, aux_, alive_, camera, extras_):
-                camera = jax.tree.map(
-                    lambda x: x[0] if hasattr(x, "ndim") and x.ndim > 0 else x,
-                    camera)
+            def device_step(p, aux_, alive_, camera, extras_):
+                camera = cameras_first(camera)
+                tile_rank = jax.lax.axis_index("tile")
+                row0 = tile_rank * band_tiles
                 offset0 = jnp.zeros((c, 2), jnp.float32)
 
                 def lf(diff):
                     pp, off = diff
-                    out = model.render(pp, camera, aux=aux_, alive=alive_,
-                                       mean2d_offset_ndc=off,
-                                       key_buffer_size=key_buffer)
-                    return loss_fn(pp, aux_, out, camera, extras_), out
+                    settings = model.render_settings(camera)
+                    from ..ops.rasterize.tiled import render_tiled
+                    band = render_tiled(
+                        pp["xyz"], pp["opacity"],
+                        model.scaling_activation(pp["scaling"]),
+                        pp["rotation"] / jnp.maximum(jnp.linalg.norm(
+                            pp["rotation"], axis=-1, keepdims=True), 1e-12),
+                        model.masked_features(pp, aux_),
+                        settings, alive=alive_, mean2d_offset_ndc=off,
+                        key_buffer_size=key_buffer,
+                        tile_row_offset=row0, tile_rows=band_tiles)
+                    # Exact full image on every tile rank: gather the bands.
+                    img_bands = jax.lax.all_gather(
+                        band["render"], "tile")           # [n_tile,3,bh,W]
+                    full = img_bands.transpose(1, 0, 2, 3).reshape(
+                        3, padded_h, W)[:, :H, :]
+                    out = {
+                        "render": full,
+                        "radii": band["radii"],
+                        "depth": band["depth"],
+                        "final_T": band["final_T"],
+                        "overflow": band["overflow"],
+                    }
+                    loss = loss_fn(pp, aux_, out, camera, extras_)
+                    return loss, out
 
                 (loss, out), grads = jax.value_and_grad(lf, has_aux=True)(
                     (p, offset0))
                 gparams, goff = grads
-                gparams = jax.tree.map(lambda g: jax.lax.pmean(
-                    g, ("data", "tile")), gparams)
+                # Sum over pixel bands; mean over data ranks.
+                gparams = jax.tree.map(
+                    lambda g: jax.lax.pmean(jax.lax.psum(g, "tile"), "data"),
+                    gparams)
                 loss = jax.lax.pmean(loss, ("data", "tile"))
-                per_dev = {
-                    "radii": out["radii"][None],
-                    "vs_norm": jnp.linalg.norm(goff, axis=-1)[None],
-                    "render": out["render"][None],
-                }
-                return loss, gparams, per_dev
+                goff = jax.lax.psum(goff, "tile")
+                radii = jax.lax.pmax(out["radii"], ("data", "tile"))
+                vs_norm = jax.lax.pmean(
+                    jnp.linalg.norm(goff, axis=-1), "data")
+                render0 = out["render"][None]
+                return loss, (gparams, radii, vs_norm), render0
 
-            loss, gparams, per_dev = device_grads(params, aux, alive,
-                                                  cameras, extras)
+            loss, (gparams, radii, vs_norm), renders = device_step(
+                params, aux, alive, cameras, extras)
             gparams = F.mask_rows(gparams, alive)
             lr_tree = dict(self.lr_tree(params))
             lr_tree["xyz"] = lr_xyz
             new_params, new_adam = adam_update(params, gparams, adam, lr_tree)
 
-            radii = jnp.max(per_dev["radii"], axis=0)
-            vs_norm = jnp.mean(per_dev["vs_norm"], axis=0)
             visible = (radii > 0) & alive
             xyz_accum = xyz_accum + jnp.where(visible, vs_norm, 0.0)
             denom = denom + visible.astype(jnp.int32)
-            max_radii = jnp.maximum(max_radii, jnp.where(visible, radii, 0))
-
+            max_radii = jnp.maximum(max_radii,
+                                    jnp.where(visible, radii, 0))
             out = {
-                "render": per_dev["render"][0],
+                "render": renders[0],
                 "radii": radii,
                 "visibility_filter": visible,
                 "viewspace_grad_norm": vs_norm,
@@ -225,12 +176,11 @@ class ShardedTrainer(Trainer):
         return step_fn
 
     def update(self, outer, cameras):
-        """`cameras` is a batched Camera pytree with a leading device axis
-        (use `batch_cameras`)."""
         self.maybe_advance_schedules()
         loss_fn = outer.loss_pure()
-        key_buffer = self.key_buffer_for(cameras_first(cameras))
-        key = self._cache_key(cameras_first(cameras), loss_fn, key_buffer, None)
+        cam0 = cameras_first(cameras)
+        key_buffer = self.key_buffer_for(cam0)
+        key = self._cache_key(cam0, loss_fn, key_buffer, None)
         if key not in self._step_fns:
             self._step_fns[key] = self._build_step_fn(loss_fn, key_buffer)
         params = self.model.parameters()
@@ -245,21 +195,42 @@ class ShardedTrainer(Trainer):
         self.xyz_grad_accum, self.xyz_grad_denom = xyz_accum, denom
         self.max_radii2d = max_radii
         self._curr_step += 1
-        self._last_step_io_engine = (loss, out, cameras_first(cameras))
+        self._last_step_io_engine = (loss, out, cam0)
         return loss, out
 
 
-def cameras_first(cameras) -> Camera:
-    """First camera from a batched Camera pytree."""
-    return jax.tree.map(
-        lambda x: x[0] if hasattr(x, "ndim") and x.ndim > 0 else x, cameras)
+def render_sharded(model, camera: Camera, mesh: Mesh, **kwargs):
+    """Inference render with pixels sharded over the mesh's 'tile' axis."""
+    n_tile = mesh.shape["tile"]
+    H, W = camera.image_height, camera.image_width
+    band_tiles, band_h, padded_h = band_layout(H, n_tile)
+    params = model.parameters()
+    aux = model.aux_state()
+    alive = model.alive_mask
+    settings = model.render_settings(camera)
 
+    tile_mesh = Mesh(mesh.devices.reshape(-1)[: n_tile], ("tile",))
 
-def batch_cameras(cameras) -> Camera:
-    """Stack cameras (same image size) into one batched Camera pytree."""
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *cameras)
+    @functools.partial(jax.jit)
+    @functools.partial(jax.shard_map, mesh=tile_mesh, in_specs=(P(),),
+                       out_specs=P("tile"), check_vma=False)
+    def go(args):
+        p, aux_, alive_ = args
+        from ..ops.rasterize.tiled import render_tiled
+        row0 = jax.lax.axis_index("tile") * band_tiles
+        band = render_tiled(
+            p["xyz"], p["opacity"], model.scaling_activation(p["scaling"]),
+            p["rotation"] / jnp.maximum(jnp.linalg.norm(
+                p["rotation"], axis=-1, keepdims=True), 1e-12),
+            model.masked_features(p, aux_), settings, alive=alive_,
+            tile_row_offset=row0, tile_rows=band_tiles, **kwargs)
+        return band["render"].transpose(1, 2, 0)[None]
+
+    bands = go((params, aux, alive))
+    img = bands.reshape(padded_h, W, 3)[:H]
+    return img.transpose(2, 0, 1)
 
 
 def shard_train_step(trainer: ShardedTrainer, cameras):
-    """One data-parallel step over a list of cameras (one per device)."""
+    """One DPxSP step over a list of per-data-rank cameras."""
     return trainer.step(batch_cameras(cameras))

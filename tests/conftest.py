@@ -3,8 +3,10 @@ import os
 import sys
 
 # Tests run on a virtual 8-device CPU mesh: fast compiles, and shard_map /
-# pjit multi-chip paths are exercised without TPU hardware.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# pjit multi-chip paths are exercised without TPU hardware. This image
+# pre-sets JAX_PLATFORMS=axon (tunneled TPU), so we must override, not
+# setdefault — otherwise the whole suite runs over the TPU tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +16,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The axon sitecustomize pins jax_platforms to "axon,cpu" at interpreter
+# start, overriding the env var; force CPU via the config instead.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: the suite's compile-heavy jitted steps are
 # reused across test runs.
