@@ -83,6 +83,13 @@ def read_images_binary(path: str) -> Dict[int, ColmapImage]:
 
 
 def read_points3d_binary(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    try:
+        from ..models.native_io import read_colmap_points_native
+        out = read_colmap_points_native(path)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     with open(path, "rb") as f:
         num = struct.unpack("<Q", f.read(8))[0]
         xyz = np.empty((num, 3), np.float64)

@@ -36,6 +36,12 @@ def write_ply(path: str, elements: "OrderedDict[str, np.ndarray]") -> None:
       path: output file path.
       elements: ordered mapping element-name -> numpy structured array.
     """
+    try:
+        from .native_io import write_ply_native
+        if write_ply_native(path, elements):
+            return
+    except Exception:
+        pass
     header = ["ply", "format binary_little_endian 1.0"]
     for name, arr in elements.items():
         if arr.dtype.names is None:
@@ -54,6 +60,13 @@ def write_ply(path: str, elements: "OrderedDict[str, np.ndarray]") -> None:
 
 def read_ply(path: str) -> "OrderedDict[str, np.ndarray]":
     """Read a PLY file; returns ordered mapping element-name -> record array."""
+    try:
+        from .native_io import read_ply_native
+        out = read_ply_native(path)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     with open(path, "rb") as f:
         data = f.read()
     end = data.find(b"end_header")
