@@ -40,13 +40,14 @@ def main():
     from reduced_3dgs_tpu.shculling import VariableSHGaussianModel
     from reduced_3dgs_tpu.trainer import Trainer
 
+    backend = os.environ.get("BENCH_BACKEND", "pallas")
     n = N_GAUSSIANS
     ks = jax.random.split(jax.random.PRNGKey(0), 6)
     xyz = jnp.concatenate([
         jax.random.uniform(ks[0], (n, 2), minval=-1.2, maxval=1.2),
         3.5 + jax.random.uniform(ks[1], (n, 1), minval=-1.5, maxval=1.5)], 1)
     feats = jax.random.normal(ks[2], (n, 16, 3)) * 0.2
-    model = VariableSHGaussianModel(3)
+    model = VariableSHGaussianModel(3, render_backend=backend)
     model.set_parameters(dict(
         xyz=xyz, features_dc=feats[:, :1] + 0.4, features_rest=feats[:, 1:],
         scaling=jax.random.uniform(ks[3], (n, 3), minval=-5.5, maxval=-4.0),
@@ -83,6 +84,7 @@ def main():
         "unit": "pixels/s (fwd+bwd+adam, single chip)",
         "vs_baseline": round(pix_per_s / PINNED_TARGET_PIX_S, 4),
         "detail": {
+            "backend": backend,
             "n_gaussians": n,
             "resolution": [HEIGHT, WIDTH],
             "step_ms": round(dt * 1e3, 2),

@@ -229,7 +229,8 @@ class GaussianModel:
         return render_tiled(*args, settings, alive=alive,
                             mean2d_offset_ndc=mean2d_offset_ndc,
                             with_stats=with_stats,
-                            key_buffer_size=key_buffer_size or self._key_buffer_size)
+                            key_buffer_size=key_buffer_size or self._key_buffer_size,
+                            use_pallas=(self.render_backend == "pallas"))
 
     def forward(self, camera: Camera, **kwargs):
         """Render with the model's own parameters, with automatic key-buffer

@@ -71,6 +71,8 @@ def render_tiled(
     pixel_chunk: int = 64,
     tile_row_offset=None,
     tile_rows: Optional[int] = None,
+    use_pallas: bool = False,
+    pallas_interpret: Optional[bool] = None,
 ):
     """Render an image through the tiled pipeline.
 
@@ -153,6 +155,27 @@ def render_tiled(
 
     seg_ids = jnp.minimum(s_tile, num_tiles)               # [K], sentinel bucket
 
+    if use_pallas and not with_stats:
+        # Fast path: per-tile Pallas compositing kernels (custom VJP).
+        from .pallas_kernel import composite_pallas, pack_entries
+        if pallas_interpret is None:
+            pallas_interpret = jax.default_backend() != "tpu"
+        tids = jnp.arange(num_tiles, dtype=jnp.int32)
+        range_start = jnp.searchsorted(s_tile, tids, side="left").astype(jnp.int32)
+        range_end = jnp.searchsorted(s_tile, tids, side="right").astype(jnp.int32)
+        e_packed = pack_entries(e_means2d, e_conic, e_opacity, e_rgb, e_depth)
+        color4, final_t = composite_pallas(
+            e_packed, range_start, range_end, tile_row_offset,
+            tiles_x, num_tiles, bool(pallas_interpret))
+        colors = jnp.swapaxes(color4[:, :3, :], 1, 2)       # [T,256,3]
+        depths_img = color4[:, 3, :]                        # [T,256]
+        T_img_tiles = final_t[:, 0, :]
+        stats_entries = None
+        return _assemble_outputs(
+            colors, depths_img, T_img_tiles, pre, settings, tiles_x, tiles_y,
+            H, W, tile_rows, overflow, total, stats_entries, s_gidx, s_valid,
+            N, with_stats)
+
     n_pix_chunks = -(-config.BLOCK_SIZE // pixel_chunk)
     p_offsets = jnp.arange(pixel_chunk, dtype=jnp.int32)
 
@@ -216,7 +239,15 @@ def render_tiled(
     colors = colors.transpose(1, 0, 2, 3).reshape(num_tiles, config.BLOCK_SIZE, 3)
     depths_img = depths_img.transpose(1, 0, 2).reshape(num_tiles, config.BLOCK_SIZE)
     T_img_tiles = jnp.exp(logTs.transpose(1, 0, 2).reshape(num_tiles, config.BLOCK_SIZE))
+    return _assemble_outputs(
+        colors, depths_img, T_img_tiles, pre, settings, tiles_x, tiles_y,
+        H, W, tile_rows, overflow, total, stats_entries, s_gidx, s_valid,
+        N, with_stats)
 
+
+def _assemble_outputs(colors, depths_img, T_img_tiles, pre, settings,
+                      tiles_x, tiles_y, H, W, tile_rows, overflow, total,
+                      stats_entries, s_gidx, s_valid, N, with_stats):
     # --- stitch tiles back into the image and crop padding -----------------
     padded_h = tiles_y * config.BLOCK_Y
     padded_w = tiles_x * config.BLOCK_X

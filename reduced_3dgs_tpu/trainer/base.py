@@ -96,18 +96,23 @@ class BaseTrainer(AbstractTrainer):
 
     # ----------------------------------------------------------------- loss
     def loss_pure(self):
-        lam = self.lambda_dssim
+        # Cached: the returned function's identity is part of the jitted-step
+        # cache key, so it must be stable across steps.
+        if getattr(self, "_photometric_loss", None) is None:
+            lam = self.lambda_dssim
 
-        def photometric(params, aux, out, camera, extras):
-            del params, aux, extras
-            render = out["render"]
-            gt = camera.ground_truth_image
-            if camera.ground_truth_image_mask is not None:
-                render = render * camera.ground_truth_image_mask
-                gt = gt * camera.ground_truth_image_mask
-            return (1.0 - lam) * l1_loss(render, gt) + lam * (1.0 - ssim(render, gt))
+            def photometric(params, aux, out, camera, extras):
+                del params, aux, extras
+                render = out["render"]
+                gt = camera.ground_truth_image
+                if camera.ground_truth_image_mask is not None:
+                    render = render * camera.ground_truth_image_mask
+                    gt = gt * camera.ground_truth_image_mask
+                return ((1.0 - lam) * l1_loss(render, gt)
+                        + lam * (1.0 - ssim(render, gt)))
 
-        return photometric
+            self._photometric_loss = photometric
+        return self._photometric_loss
 
     # ------------------------------------------------------------ schedules
     def xyz_lr(self) -> float:

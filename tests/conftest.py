@@ -22,8 +22,8 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compilation cache: the suite's compile-heavy jitted steps are
 # reused across test runs.
-os.makedirs("/tmp/jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+os.makedirs("/tmp/jax_cache_cpu", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # This image registers a TPU PJRT plugin ("axon") from sitecustomize at

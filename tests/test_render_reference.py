@@ -153,19 +153,25 @@ def test_mean2d_offset_gradient_scaling():
     cloud = random_cloud(jax.random.PRNGKey(4), 5)
     zeros = jnp.zeros((5, 2))
 
+    weights = jnp.sin(jnp.arange(3 * 32 * 64) * 0.37).reshape(3, 32, 64)
+
+    @jax.jit
     def loss(off):
         out = render_reference(cloud["xyz"], cloud["opacity"], cloud["scales"],
                                cloud["rotations"], cloud["features"], s,
                                mean2d_offset_ndc=off)
-        return jnp.sum(out["render"] * jnp.arange(3 * 32 * 64).reshape(3, 32, 64))
+        return jnp.mean(out["render"] * weights)
 
-    g = jax.grad(loss)(zeros)
+    g = jax.jit(jax.grad(loss))(zeros)
     assert np.all(np.isfinite(np.asarray(g)))
-    # gradient wrt ndc offset = pixel-space gradient * S/2; verify by shifting
-    # in ndc and comparing against pixel-space finite difference.
-    eps = 1e-4
-    gx_fd = (float(loss(zeros.at[:, 0].add(eps))) - float(loss(zeros.at[:, 0].add(-eps)))) / (2 * eps)
-    np.testing.assert_allclose(float(g[:, 0].sum()), gx_fd, rtol=2e-2)
+    # gradient wrt ndc offset must match a central finite difference (this is
+    # the quantity the densifier thresholds, pre-scaled by 0.5*W / 0.5*H).
+    for col in (0, 1):
+        eps = 3e-3  # small-eps FDs drown in f32 noise on the tiny mean loss
+        fd = (float(loss(zeros.at[:, col].add(eps)))
+              - float(loss(zeros.at[:, col].add(-eps)))) / (2 * eps)
+        np.testing.assert_allclose(float(g[:, col].sum()), fd, rtol=6e-2,
+                                   atol=1e-5)
 
 
 def test_stats_outputs():
