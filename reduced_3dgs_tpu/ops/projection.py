@@ -53,17 +53,28 @@ def build_cov3d(scales: jnp.ndarray, scale_modifier, rotations: jnp.ndarray) -> 
     R = quat_to_rotmat(rotations)
     s = scales * scale_modifier
     RS = R * s[..., None, :]            # R @ diag(s)
-    return jnp.matmul(RS, jnp.swapaxes(RS, -1, -2), precision='highest')
+    # RS @ RS^T written as a broadcasted contraction (see transform_points
+    # for why tiny-contraction matmuls are banned).
+    return (RS[..., :, None, 0] * RS[..., None, :, 0]
+            + RS[..., :, None, 1] * RS[..., None, :, 1]
+            + RS[..., :, None, 2] * RS[..., None, :, 2])
 
 
 def transform_points(points: jnp.ndarray, matrix: jnp.ndarray) -> jnp.ndarray:
-    """Homogeneous row-vector transform: [p, 1] @ M -> [..., 4]."""
-    return jnp.matmul(points, matrix[:3, :], precision='highest') + matrix[3, :]
+    """Homogeneous row-vector transform: [p, 1] @ M -> [..., 4].
+
+    Written as broadcasted multiply-adds, NOT a matmul: [N,3]@[3,4]-shaped
+    dot_generals trigger a TPU-runtime pathology that permanently degrades
+    the dispatch path of every subsequent executable in the process (~200x,
+    observed on v5e via the remote-compile tunnel), and a 3-element
+    contraction has no business on the MXU anyway."""
+    return (points[..., 0:1] * matrix[0, :] + points[..., 1:2] * matrix[1, :]
+            + points[..., 2:3] * matrix[2, :] + matrix[3, :])
 
 
 def world_to_view(points: jnp.ndarray, viewmatrix: jnp.ndarray) -> jnp.ndarray:
     """World -> camera coordinates (auxiliary.h:58-66 semantics)."""
-    return jnp.matmul(points, viewmatrix[:3, :3], precision='highest') + viewmatrix[3, :3]
+    return transform_points(points, viewmatrix)[..., :3]
 
 
 def project_points(points: jnp.ndarray, projmatrix: jnp.ndarray, eps: float = 1e-7):
@@ -106,21 +117,33 @@ def build_cov2d(means3d: jnp.ndarray, cov3d: jnp.ndarray, viewmatrix: jnp.ndarra
     ty = jnp.clip(t[..., 1] / tz, -limy, limy) * tz
 
     inv_tz = 1.0 / tz
-    zeros = jnp.zeros_like(tx)
-    # J: 2x3 Jacobian of the perspective projection at (tx, ty, tz).
-    J = jnp.stack([
-        jnp.stack([focal_x * inv_tz, zeros, -focal_x * tx * inv_tz * inv_tz], -1),
-        jnp.stack([zeros, focal_y * inv_tz, -focal_y * ty * inv_tz * inv_tz], -1),
-    ], axis=-2)                                             # [..., 2, 3]
+    # J: 2x3 Jacobian of the perspective projection at (tx, ty, tz), rows
+    # expressed component-wise. Batched [N,2,3]@[3,3]@[N,3,3] matmul chains
+    # must NOT be used here: tiny-contraction dot_generals compile to a code
+    # path that permanently degrades dispatch on the TPU runtime (measured
+    # 200x slowdown of every subsequent executable in the process), besides
+    # being MXU-hostile. Everything below is plain vectorized arithmetic.
+    j00 = focal_x * inv_tz
+    j02 = -focal_x * tx * inv_tz * inv_tz
+    j11 = focal_y * inv_tz
+    j12 = -focal_y * ty * inv_tz * inv_tz
     # Row-vector storage: p_view = p @ V[:3,:3], so the world->view rotation
-    # acting on column vectors is V[:3,:3]^T.
-    Rwc = viewmatrix[:3, :3].T                              # [3, 3]
-    T = jnp.matmul(J, Rwc, precision='highest')             # [..., 2, 3]
-    cov = jnp.matmul(jnp.matmul(T, cov3d, precision='highest'),
-                     jnp.swapaxes(T, -1, -2), precision='highest')  # [..., 2, 2]
-    cov_xx = cov[..., 0, 0] + COV2D_LOWPASS
-    cov_yy = cov[..., 1, 1] + COV2D_LOWPASS
-    cov_xy = cov[..., 0, 1]
+    # acting on column vectors is W = V[:3,:3]^T; W[r, c] = viewmatrix[c, r].
+    W = viewmatrix[:3, :3]
+    # T = J @ W, rows T0 = j00*W0 + j02*W2, T1 = j11*W1 + j12*W2 with Wr the
+    # r-th row of W^T = the r-th column of viewmatrix[:3,:3].
+    T0 = j00[..., None] * W[:, 0] + j02[..., None] * W[:, 2]   # [..., 3]
+    T1 = j11[..., None] * W[:, 1] + j12[..., None] * W[:, 2]
+    # cov2d = T Sigma T^T via the quadratic form on each row pair.
+    S_T0 = (cov3d[..., :, 0] * T0[..., None, 0]
+            + cov3d[..., :, 1] * T0[..., None, 1]
+            + cov3d[..., :, 2] * T0[..., None, 2])           # [..., 3]
+    S_T1 = (cov3d[..., :, 0] * T1[..., None, 0]
+            + cov3d[..., :, 1] * T1[..., None, 1]
+            + cov3d[..., :, 2] * T1[..., None, 2])
+    cov_xx = jnp.sum(T0 * S_T0, axis=-1) + COV2D_LOWPASS
+    cov_xy = jnp.sum(T0 * S_T1, axis=-1)
+    cov_yy = jnp.sum(T1 * S_T1, axis=-1) + COV2D_LOWPASS
     return jnp.stack([cov_xx, cov_xy, cov_yy], axis=-1)
 
 

@@ -55,6 +55,81 @@ def default_key_buffer_size(n: int, tiles_x: int, tiles_y: int) -> int:
     return int(min(base, max(n, 1) * tiles_x * tiles_y))
 
 
+def fill_ids_from_offsets(offsets, counts, K: int):
+    """ids[pos] = i for pos in [offsets[i], offsets[i] + counts[i]).
+
+    Static-shape replacement for jnp.repeat(arange(N), counts,
+    total_repeat_length=K): jnp.repeat lowers to a searchsorted, which on
+    TPU becomes a sequential while loop; a boundary scatter + running max is
+    pure vector work."""
+    n = offsets.shape[0]
+    ids = jnp.arange(n, dtype=jnp.int32)
+    seed = jnp.zeros((K,), jnp.int32).at[
+        jnp.where(counts > 0, offsets, K)
+    ].max(ids, mode="drop")
+    return jax.lax.associative_scan(jnp.maximum, seed)
+
+
+def tile_ranges(s_tile, K: int, num_tiles: int):
+    """Per-tile [start, end) ranges in the sorted entry buffer.
+
+    Search-free identifyTileRanges (rasterizer_impl.cu:124-146): scatter
+    each segment's first position, then backfill empty tiles with the next
+    segment's start via a reverse running min."""
+    pos = jnp.arange(K, dtype=jnp.int32)
+    firsts = jnp.full((num_tiles + 2,), K, jnp.int32).at[s_tile].min(pos)
+    firsts = jnp.flip(jax.lax.associative_scan(jnp.minimum, jnp.flip(firsts)))
+    return firsts[:num_tiles], firsts[1:num_tiles + 1]
+
+
+def bin_and_sort(rect_min, rect_max, tiles_touched, depths, *,
+                 tiles_x: int, tiles_y: int, tile_row_offset, K: int):
+    """Static-shape duplicateWithKeys + radix sort + tile-range extraction.
+
+    Shared by the 3DGS and 2DGS tiled renderers. Returns a dict with the
+    (tile, depth)-sorted entry buffer:
+      s_gidx [K] source Gaussian index, s_tile [K] tile id (num_tiles =
+      sentinel), s_valid [K], seg_start_pos [K] (index where each entry's
+      tile segment starts), seg_ids [K], pos [K], overflow (bool), total.
+    """
+    N = rect_min.shape[0]
+    num_tiles = tiles_x * tiles_y
+    band_rmin_y = jnp.clip(rect_min[:, 1] - tile_row_offset, 0, tiles_y)
+    band_rmax_y = jnp.clip(rect_max[:, 1] - tile_row_offset, 0, tiles_y)
+    rect_w = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
+    band_h_tiles = jnp.maximum(band_rmax_y - band_rmin_y, 0)
+    counts = jnp.where(tiles_touched > 0,
+                       (rect_max[:, 0] - rect_min[:, 0]) * band_h_tiles,
+                       0).astype(jnp.int32)               # [N]
+    offsets = jnp.cumsum(counts) - counts                 # exclusive
+    total = offsets[-1] + counts[-1]
+    overflow = total > K
+
+    gidx = fill_ids_from_offsets(offsets, counts, K)      # [K]
+    pos = jnp.arange(K, dtype=jnp.int32)
+    ordinal = pos - offsets[gidx]
+    entry_valid = (ordinal >= 0) & (ordinal < counts[gidx]) & (pos < total)
+
+    tx = rect_min[gidx, 0] + ordinal % rect_w[gidx]
+    ty = band_rmin_y[gidx] + ordinal // rect_w[gidx]
+    tile_id = jnp.where(entry_valid, ty * tiles_x + tx, num_tiles)
+
+    depth_key = jnp.where(entry_valid, depths[gidx], jnp.inf)
+    s_tile, _, s_gidx = jax.lax.sort(
+        (tile_id.astype(jnp.int32), depth_key.astype(jnp.float32), gidx),
+        num_keys=2)
+    s_valid = s_tile < num_tiles
+
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), s_tile[1:] != s_tile[:-1]])
+    seg_start_pos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, pos, 0))          # [K]
+    return dict(s_gidx=s_gidx, s_tile=s_tile, s_valid=s_valid,
+                seg_start_pos=seg_start_pos,
+                seg_ids=jnp.minimum(s_tile, num_tiles), pos=pos,
+                overflow=overflow, total=total)
+
+
 def render_tiled(
     means3d: jnp.ndarray,
     opacities_raw: jnp.ndarray,
@@ -107,41 +182,12 @@ def render_tiled(
                             colors_precomp=colors_precomp,
                             cov3d_precomp=cov3d_precomp)
 
-    # Band-clip the tile rect in y (full-image mode: offset 0, full rows).
-    band_rmin_y = jnp.clip(pre.rect_min[:, 1] - tile_row_offset, 0, tiles_y)
-    band_rmax_y = jnp.clip(pre.rect_max[:, 1] - tile_row_offset, 0, tiles_y)
-    rect_w = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 1)
-    band_h_tiles = jnp.maximum(band_rmax_y - band_rmin_y, 0)
-    counts = jnp.where(pre.tiles_touched > 0,
-                       (pre.rect_max[:, 0] - pre.rect_min[:, 0]) * band_h_tiles,
-                       0).astype(jnp.int32)               # [N]
-    offsets = jnp.cumsum(counts) - counts                 # exclusive
-    total = offsets[-1] + counts[-1]
-    overflow = total > K
-
-    # --- duplicateWithKeys, static-shape form -----------------------------
-    gidx = jnp.repeat(jnp.arange(N, dtype=jnp.int32), counts,
-                      total_repeat_length=K)              # [K]
-    pos = jnp.arange(K, dtype=jnp.int32)
-    ordinal = pos - offsets[gidx]
-    entry_valid = (ordinal >= 0) & (ordinal < counts[gidx]) & (pos < total)
-
-    tx = pre.rect_min[gidx, 0] + ordinal % rect_w[gidx]
-    ty = band_rmin_y[gidx] + ordinal // rect_w[gidx]
-    tile_id = jnp.where(entry_valid, ty * tiles_x + tx, num_tiles)
-
-    depth_key = jnp.where(entry_valid, pre.depths[gidx], jnp.inf)
-    s_tile, _, s_gidx = jax.lax.sort(
-        (tile_id.astype(jnp.int32), depth_key.astype(jnp.float32), gidx),
-        num_keys=2)
-    s_valid = s_tile < num_tiles
-
-    # --- identifyTileRanges ------------------------------------------------
-    # Index (in the sorted buffer) where each entry's tile segment starts.
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), s_tile[1:] != s_tile[:-1]])
-    seg_start_pos = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_start, pos, 0))          # [K]
+    ent = bin_and_sort(pre.rect_min, pre.rect_max, pre.tiles_touched,
+                       pre.depths, tiles_x=tiles_x, tiles_y=tiles_y,
+                       tile_row_offset=tile_row_offset, K=K)
+    s_gidx, s_tile, s_valid = ent["s_gidx"], ent["s_tile"], ent["s_valid"]
+    seg_start_pos, pos = ent["seg_start_pos"], ent["pos"]
+    overflow, total = ent["overflow"], ent["total"]
 
     # --- gather per-entry data ---------------------------------------------
     e_means2d = pre.means2d[s_gidx]                        # [K,2]
@@ -153,23 +199,21 @@ def render_tiled(
     e_tile_y = ((jnp.minimum(s_tile // tiles_x, tiles_y - 1)
                  + tile_row_offset).astype(jnp.float32) * config.BLOCK_Y)
 
-    seg_ids = jnp.minimum(s_tile, num_tiles)               # [K], sentinel bucket
+    seg_ids = ent["seg_ids"]                               # [K], sentinel bucket
 
     if use_pallas and not with_stats:
         # Fast path: per-tile Pallas compositing kernels (custom VJP).
         from .pallas_kernel import composite_pallas, pack_entries
         if pallas_interpret is None:
             pallas_interpret = jax.default_backend() != "tpu"
-        tids = jnp.arange(num_tiles, dtype=jnp.int32)
-        range_start = jnp.searchsorted(s_tile, tids, side="left").astype(jnp.int32)
-        range_end = jnp.searchsorted(s_tile, tids, side="right").astype(jnp.int32)
+        range_start, range_end = tile_ranges(s_tile, K, num_tiles)
         e_packed = pack_entries(e_means2d, e_conic, e_opacity, e_rgb, e_depth)
         color4, final_t = composite_pallas(
-            e_packed, range_start, range_end, tile_row_offset,
+            e_packed, s_tile, range_start, range_end, tile_row_offset,
             tiles_x, num_tiles, bool(pallas_interpret))
-        colors = jnp.swapaxes(color4[:, :3, :], 1, 2)       # [T,256,3]
-        depths_img = color4[:, 3, :]                        # [T,256]
-        T_img_tiles = final_t[:, 0, :]
+        colors = color4[:, :, :3]                           # [T,256,3]
+        depths_img = color4[:, :, 3]                        # [T,256]
+        T_img_tiles = final_t[:, :, 0]
         stats_entries = None
         return _assemble_outputs(
             colors, depths_img, T_img_tiles, pre, settings, tiles_x, tiles_y,

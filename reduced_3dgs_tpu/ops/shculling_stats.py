@@ -71,8 +71,12 @@ def calculate_colours_variance(
     variance = jnp.zeros((n, 1, 3), jnp.float32)
     dist_accum = jnp.zeros((n, max_deg if max_deg > 0 else 1), jnp.float32)
 
+    # Every device array is an explicit argument: executables that CAPTURE
+    # concrete device arrays as constants permanently degrade the TPU
+    # runtime's dispatch path (~6 ms per subsequent executable run,
+    # observed on v5e) — see ops/projection.py transform_points note.
     @jax.jit
-    def accumulate(carry, camera):
+    def accumulate(carry, camera, params, degrees, alive, features):
         wSum, mean, variance, dist_accum = carry
         out = model.render(params, camera, aux={"degrees": degrees},
                            alive=alive, with_stats=True)
@@ -106,7 +110,7 @@ def calculate_colours_variance(
 
     carry = (wSum, mean, variance, dist_accum)
     for camera in cameras:
-        carry = accumulate(carry, camera)
+        carry = accumulate(carry, camera, params, degrees, alive, features)
     wSum, mean, variance, dist_accum = carry
 
     avg_dist = dist_accum / jnp.maximum(wSum, 1e-20)

@@ -207,16 +207,19 @@ def render_sharded(model, camera: Camera, mesh: Mesh, **kwargs):
     params = model.parameters()
     aux = model.aux_state()
     alive = model.alive_mask
-    settings = model.render_settings(camera)
 
     tile_mesh = Mesh(mesh.devices.reshape(-1)[: n_tile], ("tile",))
 
+    # `camera` is an explicit argument (settings built in-trace): capturing
+    # device arrays as jit constants degrades the TPU dispatch path (see
+    # ops/projection.py transform_points note).
     @functools.partial(jax.jit)
-    @functools.partial(jax.shard_map, mesh=tile_mesh, in_specs=(P(),),
+    @functools.partial(jax.shard_map, mesh=tile_mesh, in_specs=(P(), P()),
                        out_specs=P("tile"), check_vma=False)
-    def go(args):
+    def go(args, camera):
         p, aux_, alive_ = args
         from ..ops.rasterize.tiled import render_tiled
+        settings = model.render_settings(camera)
         row0 = jax.lax.axis_index("tile") * band_tiles
         band = render_tiled(
             p["xyz"], p["opacity"], model.scaling_activation(p["scaling"]),
@@ -226,7 +229,7 @@ def render_sharded(model, camera: Camera, mesh: Mesh, **kwargs):
             tile_row_offset=row0, tile_rows=band_tiles, **kwargs)
         return band["render"].transpose(1, 2, 0)[None]
 
-    bands = go((params, aux, alive))
+    bands = go((params, aux, alive), camera)
     img = bands.reshape(padded_h, W, 3)[:H]
     return img.transpose(2, 0, 1)
 

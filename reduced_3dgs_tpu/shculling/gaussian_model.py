@@ -85,18 +85,33 @@ class CameraTrainableVariableSHGaussianModel(VariableSHGaussianModel,
 
 # Render-backend registry parity (reference gaussian_model.py:83-101 exposes
 # gsplat / gsplat-2dgs mixins). Our TPU tiled renderer is behaviorally a
-# 3DGS renderer, so the "gsplat" aliases map to the same implementation; a
-# 2DGS (surfel) variant is a distinct splatting model and is not implemented
-# yet — constructing one raises.
+# 3DGS renderer, so the "gsplat" aliases map to the same implementation; the
+# 2DGS (surfel) variant routes to the dedicated flat-splat renderer
+# (ops/rasterize/twodgs.py).
 VariableSHGsplatGaussianModel = VariableSHGaussianModel
 CameraTrainableVariableSHGsplatGaussianModel = CameraTrainableVariableSHGaussianModel
 
 
 class VariableSHGsplat2DGSGaussianModel(VariableSHGaussianModel):
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError(
-            "2DGS (surfel splatting) backend is not implemented in the TPU "
-            "framework yet; use the default backend.")
+    """Variable-SH model rendered as 2D (surfel) Gaussians.
+
+    TPU equivalent of the reference's `Gsplat2DGSGaussianModel` mixin
+    (/root/reference/reduced_3dgs/shculling/gaussian_model.py:91-96): same
+    parameters and reduction features, flat-disk splatting forward model.
+    The third scale component is ignored by the renderer."""
+
+    def render(self, params, camera, aux=None, alive=None,
+               mean2d_offset_ndc=None, with_stats: bool = False,
+               key_buffer_size=None):
+        from ..ops.rasterize.twodgs import render_tiled_2dgs
+        settings = self.render_settings(camera)
+        args = self.render_array_args(params, aux)
+        return render_tiled_2dgs(
+            *args, settings, alive=alive,
+            mean2d_offset_ndc=mean2d_offset_ndc, with_stats=with_stats,
+            key_buffer_size=key_buffer_size or self._key_buffer_size)
 
 
-CameraTrainableVariableSHGsplat2DGSGaussianModel = VariableSHGsplat2DGSGaussianModel
+class CameraTrainableVariableSHGsplat2DGSGaussianModel(
+        VariableSHGsplat2DGSGaussianModel, CameraTrainableGaussianModel):
+    pass
