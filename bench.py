@@ -66,8 +66,10 @@ def main():
     trainer = Trainer(model, ds)
     trainer.model.active_sh_degree = 3  # bench the full-SH path
 
-    # warmup / compile
-    loss, out = trainer.step(cam)
+    # warmup / compile: run enough steps for the adaptive key-buffer resize
+    # (drained every 64 steps) to settle and recompile before timing.
+    for _ in range(66):
+        loss, out = trainer.step(cam)
     jax.block_until_ready(out["render"])
     num_rendered = int(out.get("num_rendered", 0))
 

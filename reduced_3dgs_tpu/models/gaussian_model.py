@@ -232,24 +232,57 @@ class GaussianModel:
                             key_buffer_size=key_buffer_size or self._key_buffer_size,
                             use_pallas=(self.render_backend == "pallas"))
 
+    def _jit_render(self, with_stats: bool, key_buffer_size, has_alive: bool,
+                    image_hw, sh_degree: int):
+        """Cached jitted render entry. Every device array is an argument —
+        capturing them as jit constants degrades the TPU dispatch path (see
+        ops/projection.py transform_points note) — and eager rendering is
+        unusable over a remote TPU (each op is a tunnel round trip)."""
+        cache = getattr(self, "_jit_render_cache", None)
+        if cache is None:
+            cache = self._jit_render_cache = {}
+        key = (with_stats, key_buffer_size, has_alive, image_hw, sh_degree,
+               self.render_backend, self.capacity)
+        if key not in cache:
+            import jax as _jax
+
+            def fn(params, aux, camera, alive):
+                return self.render(params, camera, aux=aux, alive=alive,
+                                   with_stats=with_stats,
+                                   key_buffer_size=key_buffer_size)
+
+            cache[key] = _jax.jit(fn)
+        return cache[key]
+
     def forward(self, camera: Camera, **kwargs):
-        """Render with the model's own parameters, with automatic key-buffer
-        regrowth on overflow (the reference's lazy buffer resize,
+        """Render with the model's own parameters (jitted), with automatic
+        key-buffer regrowth on overflow (the reference's lazy buffer resize,
         rasterizer_impl.cu:163-202, done host-side at a jit boundary)."""
-        kwargs.setdefault("aux", self.aux_state())
-        kwargs.setdefault("alive", self.alive_mask)
-        out = self.render(self.parameters(), camera, **kwargs)
-        if "overflow" in out:
-            while bool(out["overflow"]):
-                tiles = (-(-camera.image_width // 16)) * (-(-camera.image_height // 16))
-                cur = self._key_buffer_size or default_key_buffer_size(
-                    self.num_points, -(-camera.image_width // 16),
-                    -(-camera.image_height // 16))
-                self._key_buffer_size = min(cur * 2,
-                                            max(self.num_points, 1) * tiles)
-                kwargs["key_buffer_size"] = self._key_buffer_size
-                out = self.render(self.parameters(), camera, **kwargs)
-        return out
+        aux = kwargs.pop("aux", self.aux_state())
+        alive = kwargs.pop("alive", self.alive_mask)
+        with_stats = kwargs.pop("with_stats", False)
+        kb = kwargs.pop("key_buffer_size", None) or self._key_buffer_size
+        if kwargs:
+            # Uncommon arguments (offsets, precomputed colors): fall back to
+            # the unjitted functional path.
+            return self.render(self.parameters(), camera, aux=aux,
+                               alive=alive, with_stats=with_stats,
+                               key_buffer_size=kb, **kwargs)
+        while True:
+            fn = self._jit_render(with_stats, kb,
+                                  alive is not None,
+                                  (camera.image_height, camera.image_width),
+                                  self.active_sh_degree)
+            out = fn(self.parameters(), aux, camera, alive)
+            if "overflow" not in out or not bool(out["overflow"]):
+                return out
+            tiles = ((-(-camera.image_width // 16))
+                     * (-(-camera.image_height // 16)))
+            cur = kb or default_key_buffer_size(
+                self.capacity, -(-camera.image_width // 16),
+                -(-camera.image_height // 16))
+            kb = min(cur * 2, max(self.num_points, 1) * tiles)
+            self._key_buffer_size = kb
 
     def __call__(self, camera: Camera, **kwargs):
         return self.forward(camera, **kwargs)

@@ -130,6 +130,16 @@ def knn(points: jnp.ndarray, k: int, window: int = 256,
     return d.reshape(-1, k)[:n], i.reshape(-1, k)[:n]
 
 
+def knn_index_subset(points: jnp.ndarray, k: int, neighbor_mask: jnp.ndarray,
+                     **kwargs) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """KNN where only flagged points may be returned as neighbours.
+
+    Parity with simple-knn's `distIndexQ` (simple_knn.cu:524-651): a
+    query-subset KNN restricted to a flagged neighbour subset; here the
+    restriction is the window search's mask argument."""
+    return knn(points, k, mask=neighbor_mask, **kwargs)
+
+
 def knn_exact(points: jnp.ndarray, k: int,
               mask: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact O(N^2) KNN (tests / small N oracle)."""

@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ... import config
 
 CHUNK = 256
-N_FIELDS = 16
+N_FIELDS = 10
 BLOCK = config.BLOCK_SIZE           # 256 pixels per tile
 BIG = 2 ** 30  # python int: jnp constants at module scope would be traced captures
 
@@ -236,7 +236,8 @@ def tile_composite_fwd(e_padded, chunk_tile, chunk_limit, row_offset,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_chunks,),
-        in_specs=[pl.BlockSpec((N_FIELDS, CHUNK), lambda c, ct, cl, ro: (0, c),
+        in_specs=[pl.BlockSpec((N_FIELDS, CHUNK),
+                               lambda c, ct, cl, ro: (0, c),
                                memory_space=pltpu.VMEM)],
         out_specs=(
             pl.BlockSpec((1, BLOCK, 4), lambda c, ct, cl, ro: (ct[c], 0, 0),
@@ -347,10 +348,8 @@ def _bwd_kernel(chunk_tile, chunk_limit, row_off,       # scalar prefetch
         gA = jnp.sum(dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
         gB = jnp.sum(dpower * (-dx * dy), axis=0, keepdims=True)
         gC = jnp.sum(dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
-        zeros = jnp.zeros_like(gx)
         grads_ref[:, :] = jnp.concatenate(
-            [gx, gy, gA, gB, gC, dop, g_r, g_g, g_b, g_d,
-             zeros, zeros, zeros, zeros, zeros, zeros], axis=0)  # [16,C]
+            [gx, gy, gA, gB, gC, dop, g_r, g_g, g_b, g_d], axis=0)  # [10,C]
 
         t_run[:, :] = T_end * jnp.exp(-tot_log)
         s_acc[:, :] = S + tot_wc
@@ -429,7 +428,7 @@ def composite_pallas(e_packed, s_tile, range_start, range_end, row_offset,
 def _composite_fwd(e_packed, s_tile, range_start, range_end, row_offset,
                    tiles_x, num_tiles, interpret):
     k = e_packed.shape[1]
-    src, src_valid, chunk_tile, chunk_limit, _, counts = chunk_layout(
+    src, src_valid, chunk_tile, chunk_limit, pad_start, counts = chunk_layout(
         range_start, range_end, k, num_tiles)
     e_padded = _pad_entries(e_packed, src, src_valid)
     color4, final_t, latch = tile_composite_fwd(
@@ -440,18 +439,18 @@ def _composite_fwd(e_packed, s_tile, range_start, range_end, row_offset,
     color4 = jnp.where(nonempty, color4[:num_tiles], 0.0)
     final_t = jnp.where(nonempty, final_t[:num_tiles], 1.0)
     latch = jnp.where(nonempty, latch[:num_tiles], 0)
-    return (color4, final_t), (e_packed, s_tile, range_start, range_end,
-                               row_offset, final_t, latch)
+    # e_padded and the chunk layout go into the residuals so the backward
+    # pass re-runs neither the padding gather nor the layout scans.
+    return (color4, final_t), (e_padded, chunk_tile, chunk_limit, pad_start,
+                               s_tile, range_start, row_offset, final_t,
+                               latch)
 
 
 def _composite_bwd(tiles_x, num_tiles, interpret, res, cot):
-    (e_packed, s_tile, range_start, range_end, row_offset, final_t,
-     latch) = res
+    (e_padded, chunk_tile, chunk_limit, pad_start, s_tile, range_start,
+     row_offset, final_t, latch) = res
     g_color4, g_t = cot
-    k = e_packed.shape[1]
-    src, src_valid, chunk_tile, chunk_limit, pad_start, _ = chunk_layout(
-        range_start, range_end, k, num_tiles)
-    e_padded = _pad_entries(e_packed, src, src_valid)
+    k = s_tile.shape[0]
     grads_padded = tile_composite_bwd(
         e_padded, chunk_tile, chunk_limit, row_offset, tiles_x, num_tiles,
         jnp.concatenate([final_t, jnp.ones((1, BLOCK, 1), final_t.dtype)]),
@@ -467,12 +466,142 @@ def _composite_bwd(tiles_x, num_tiles, interpret, res, cot):
 composite_pallas.defvjp(_composite_fwd, _composite_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def composite_from_fields(fields10, s_gidx, inv_pos, offsets, counts,
+                          s_tile, range_start, range_end, row_offset,
+                          tiles_x: int, num_tiles: int,
+                          interpret: bool = False):
+    """Compositing straight from per-Gaussian fields: fuses the per-entry
+    gather, the chunk padding, and their transposes into the kernel's
+    custom VJP.
+
+    Forward: one [10, Kpad] gather fields10[:, s_gidx[src]] builds the
+    chunk-aligned entry buffer directly. Backward: the padded per-entry
+    gradients are gathered once into EMISSION order (where each Gaussian's
+    entries are one contiguous run) and reduced by differencing a running
+    prefix sum at the [offset, offset+count) boundaries — no scatter ever
+    materialises (XLA's gather transpose is a serial scatter-add on TPU,
+    ~12 ms for 1.2M updates; this path is ~4x cheaper end to end).
+
+    Args: fields10 [10, N] (pack_fields), s_gidx/s_pos-derived inv_pos /
+    offsets / counts / s_tile from bin_and_sort, tile ranges [T].
+    Returns (color4 [T,256,4], final_T [T,256,1]).
+    """
+    out, _ = _cff_fwd(fields10, s_gidx, inv_pos, offsets, counts, s_tile,
+                      range_start, range_end, row_offset, tiles_x, num_tiles,
+                      interpret)
+    return out
+
+
+def _cff_fwd(fields10, s_gidx, inv_pos, offsets, counts, s_tile,
+             range_start, range_end, row_offset, tiles_x, num_tiles,
+             interpret):
+    k = s_gidx.shape[0]
+    src, src_valid, chunk_tile, chunk_limit, pad_start, counts_tile = \
+        chunk_layout(range_start, range_end, k, num_tiles)
+    padded_idx = jnp.take(s_gidx, src, axis=0)
+    e_padded = jnp.where(src_valid[None, :],
+                         jnp.take(fields10, padded_idx, axis=1), 0.0)
+    color4, final_t, latch = tile_composite_fwd(
+        e_padded, chunk_tile, chunk_limit, row_offset, tiles_x, num_tiles,
+        interpret)
+    nonempty = (counts_tile > 0)[:, None, None]
+    color4 = jnp.where(nonempty, color4[:num_tiles], 0.0)
+    final_t = jnp.where(nonempty, final_t[:num_tiles], 1.0)
+    latch = jnp.where(nonempty, latch[:num_tiles], 0)
+    res = (e_padded, chunk_tile, chunk_limit, pad_start, s_tile, range_start,
+           row_offset, final_t, latch, inv_pos, offsets, counts,
+           fields10.shape[1])
+    return (color4, final_t), res
+
+
+def _cff_bwd(tiles_x, num_tiles, interpret, res, cot):
+    (e_padded, chunk_tile, chunk_limit, pad_start, s_tile, range_start,
+     row_offset, final_t, latch, inv_pos, offsets, counts, n) = res
+    g_color4, g_t = cot
+    grads_padded = tile_composite_bwd(
+        e_padded, chunk_tile, chunk_limit, row_offset, tiles_x, num_tiles,
+        jnp.concatenate([final_t, jnp.ones((1, BLOCK, 1), final_t.dtype)]),
+        jnp.concatenate([latch, jnp.zeros((1, BLOCK, 1), latch.dtype)]),
+        jnp.concatenate([g_color4, jnp.zeros((1, BLOCK, 4), g_color4.dtype)]),
+        jnp.concatenate([g_t, jnp.zeros((1, BLOCK, 1), g_t.dtype)]),
+        interpret)
+    # Emission-order positions in the padded buffer.
+    j = inv_pos                                            # sorted position
+    t_of = jnp.clip(jnp.take(s_tile, j), 0, num_tiles - 1)
+    q = jnp.take(pad_start, t_of) + (j - jnp.take(range_start, t_of))
+    valid = jnp.take(s_tile, j) < num_tiles
+    g_em = jnp.where(valid[None, :],
+                     jnp.take(grads_padded,
+                              jnp.clip(q, 0, grads_padded.shape[1] - 1),
+                              axis=1), 0.0)                # [10, K]
+    prefix = jnp.concatenate(
+        [jnp.zeros((g_em.shape[0], 1), g_em.dtype),
+         jnp.cumsum(g_em, axis=1)], axis=1)
+    dfields = (jnp.take(prefix, offsets + counts, axis=1)
+               - jnp.take(prefix, offsets, axis=1))        # [10, N]
+    return dfields, None, None, None, None, None, None, None, None
+
+
+composite_from_fields.defvjp(_cff_fwd, _cff_bwd)
+
+
 def pack_entries(means2d, conic, opacity, rgb, depth):
-    """Pack sorted per-entry fields into the [16, K] kernel layout."""
+    """Pack sorted per-entry fields into the [10, K] kernel layout."""
     cols = [means2d[:, 0], means2d[:, 1], conic[:, 0], conic[:, 1],
             conic[:, 2], opacity, rgb[:, 0], rgb[:, 1], rgb[:, 2], depth]
-    packed = jnp.stack(cols, axis=0)                       # [10, K]
-    return jnp.pad(packed, ((0, N_FIELDS - packed.shape[0]), (0, 0)))
+    return jnp.stack(cols, axis=0)                         # [10, K]
+
+
+def pack_fields(pre):
+    """Per-Gaussian field matrix [10, N] in the kernel's sublane order."""
+    return jnp.stack([
+        pre.means2d[:, 0], pre.means2d[:, 1], pre.conic[:, 0],
+        pre.conic[:, 1], pre.conic[:, 2], pre.opacity, pre.rgb[:, 0],
+        pre.rgb[:, 1], pre.rgb[:, 2], pre.depths], axis=0)
+
+
+@jax.custom_vjp
+def gather_pack(fields10, s_gidx, inv_pos, offsets, counts):
+    """e_packed[:, j] = fields10[:, s_gidx[j]] with a scatter-free VJP.
+
+    XLA's gather transpose is a scatter-add, which TPUs execute serially
+    (~12 ms for 1.2M updates on v5e — the dominant backward cost). The
+    entries were EMITTED per Gaussian in one contiguous run (bin_and_sort's
+    offsets/counts), so the transpose is instead: permute entry cotangents
+    back to emission order (inv_pos, a pure gather), take a running prefix
+    sum along entries, and difference it at each Gaussian's [offset,
+    offset+count) boundaries. Gradients have mixed signs, so the f32 prefix
+    stays O(sqrt(K)) and the differencing is well-conditioned.
+    """
+    return fields10[:, s_gidx]
+
+
+def _gather_pack_fwd(fields10, s_gidx, inv_pos, offsets, counts):
+    return fields10[:, s_gidx], (s_gidx, inv_pos, offsets, counts,
+                                 fields10.shape[1])
+
+
+def _gather_pack_bwd(res, g):
+    s_gidx, inv_pos, offsets, counts, n = res
+    g_em = jnp.take(g, inv_pos, axis=1)                    # emission order
+    prefix = jnp.concatenate(
+        [jnp.zeros((g.shape[0], 1), g.dtype), jnp.cumsum(g_em, axis=1)],
+        axis=1)                                            # [10, K+1]
+    d = (jnp.take(prefix, offsets + counts, axis=1)
+         - jnp.take(prefix, offsets, axis=1))              # [10, N]
+    return d, None, None, None, None
+
+
+gather_pack.defvjp(_gather_pack_fwd, _gather_pack_bwd)
+
+
+def inverse_permutation(s_pos):
+    """inv[e] = sorted position of emission index e (one auxiliary sort)."""
+    k = s_pos.shape[0]
+    _, inv = jax.lax.sort((s_pos, jnp.arange(k, dtype=jnp.int32)),
+                          num_keys=1)
+    return inv
 
 
 def unpack_grads(grads, k: int):

@@ -115,8 +115,8 @@ def bin_and_sort(rect_min, rect_max, tiles_touched, depths, *,
     tile_id = jnp.where(entry_valid, ty * tiles_x + tx, num_tiles)
 
     depth_key = jnp.where(entry_valid, depths[gidx], jnp.inf)
-    s_tile, _, s_gidx = jax.lax.sort(
-        (tile_id.astype(jnp.int32), depth_key.astype(jnp.float32), gidx),
+    s_tile, _, s_gidx, s_pos = jax.lax.sort(
+        (tile_id.astype(jnp.int32), depth_key.astype(jnp.float32), gidx, pos),
         num_keys=2)
     s_valid = s_tile < num_tiles
 
@@ -124,10 +124,11 @@ def bin_and_sort(rect_min, rect_max, tiles_touched, depths, *,
         [jnp.ones((1,), bool), s_tile[1:] != s_tile[:-1]])
     seg_start_pos = jax.lax.associative_scan(
         jnp.maximum, jnp.where(is_start, pos, 0))          # [K]
-    return dict(s_gidx=s_gidx, s_tile=s_tile, s_valid=s_valid,
+    return dict(s_gidx=s_gidx, s_tile=s_tile, s_valid=s_valid, s_pos=s_pos,
                 seg_start_pos=seg_start_pos,
                 seg_ids=jnp.minimum(s_tile, num_tiles), pos=pos,
-                overflow=overflow, total=total)
+                overflow=overflow, total=total,
+                offsets=offsets, counts=counts)
 
 
 def render_tiled(
@@ -189,7 +190,29 @@ def render_tiled(
     seg_start_pos, pos = ent["seg_start_pos"], ent["pos"]
     overflow, total = ent["overflow"], ent["total"]
 
-    # --- gather per-entry data ---------------------------------------------
+    if use_pallas and not with_stats:
+        # Fast path: per-tile Pallas compositing kernels (custom VJP) fed
+        # straight from the per-Gaussian field matrix — gather, padding and
+        # their scatter-free transposes are fused into the kernel VJP.
+        from .pallas_kernel import (composite_from_fields,
+                                    inverse_permutation, pack_fields)
+        if pallas_interpret is None:
+            pallas_interpret = jax.default_backend() != "tpu"
+        range_start, range_end = tile_ranges(s_tile, K, num_tiles)
+        color4, final_t = composite_from_fields(
+            pack_fields(pre), s_gidx, inverse_permutation(ent["s_pos"]),
+            ent["offsets"], ent["counts"], s_tile, range_start, range_end,
+            tile_row_offset, tiles_x, num_tiles, bool(pallas_interpret))
+        colors = color4[:, :, :3]                           # [T,256,3]
+        depths_img = color4[:, :, 3]                        # [T,256]
+        T_img_tiles = final_t[:, :, 0]
+        stats_entries = None
+        return _assemble_outputs(
+            colors, depths_img, T_img_tiles, pre, settings, tiles_x, tiles_y,
+            H, W, tile_rows, overflow, total, stats_entries, s_gidx, s_valid,
+            N, with_stats)
+
+    # --- gather per-entry data (XLA segmented-scan path) -------------------
     e_means2d = pre.means2d[s_gidx]                        # [K,2]
     e_conic = pre.conic[s_gidx]                            # [K,3]
     e_opacity = pre.opacity[s_gidx]                        # [K]
@@ -200,25 +223,6 @@ def render_tiled(
                  + tile_row_offset).astype(jnp.float32) * config.BLOCK_Y)
 
     seg_ids = ent["seg_ids"]                               # [K], sentinel bucket
-
-    if use_pallas and not with_stats:
-        # Fast path: per-tile Pallas compositing kernels (custom VJP).
-        from .pallas_kernel import composite_pallas, pack_entries
-        if pallas_interpret is None:
-            pallas_interpret = jax.default_backend() != "tpu"
-        range_start, range_end = tile_ranges(s_tile, K, num_tiles)
-        e_packed = pack_entries(e_means2d, e_conic, e_opacity, e_rgb, e_depth)
-        color4, final_t = composite_pallas(
-            e_packed, s_tile, range_start, range_end, tile_row_offset,
-            tiles_x, num_tiles, bool(pallas_interpret))
-        colors = color4[:, :, :3]                           # [T,256,3]
-        depths_img = color4[:, :, 3]                        # [T,256]
-        T_img_tiles = final_t[:, :, 0]
-        stats_entries = None
-        return _assemble_outputs(
-            colors, depths_img, T_img_tiles, pre, settings, tiles_x, tiles_y,
-            H, W, tile_rows, overflow, total, stats_entries, s_gidx, s_valid,
-            N, with_stats)
 
     n_pix_chunks = -(-config.BLOCK_SIZE // pixel_chunk)
     p_offsets = jnp.arange(pixel_chunk, dtype=jnp.int32)

@@ -81,8 +81,11 @@ def training(dataset, gaussians: GaussianModel, trainer: AbstractTrainer,
     for step in pbar:
         epoch_idx = step % len(dataset)
         if epoch_idx == 0:
-            avg_psnr = float(np.mean(epoch_psnr)) if epoch_psnr else 0.0
-            avg_maskpsnr = (float(np.mean(epoch_maskpsnr))
+            # float() only at epoch boundaries — the per-step metrics stay
+            # device-side so the host never blocks on an in-flight step.
+            avg_psnr = (float(np.mean([float(x) for x in epoch_psnr]))
+                        if epoch_psnr else 0.0)
+            avg_maskpsnr = (float(np.mean([float(x) for x in epoch_maskpsnr]))
                             if epoch_maskpsnr else 0.0)
             epoch_psnr, epoch_maskpsnr = [], []
             random.shuffle(epoch)
@@ -91,14 +94,14 @@ def training(dataset, gaussians: GaussianModel, trainer: AbstractTrainer,
         loss, out = trainer.step(camera)
         gt = camera.ground_truth_image
         if gt is not None:
-            epoch_psnr.append(float(psnr(out["render"], gt).mean()))
+            epoch_psnr.append(psnr(out["render"], gt).mean())
             if camera.ground_truth_image_mask is not None:
                 m = camera.ground_truth_image_mask
-                epoch_maskpsnr.append(
-                    float(psnr(out["render"] * m, gt * m).mean()))
-        ema_loss = 0.4 * float(loss) + 0.6 * ema_loss
+                epoch_maskpsnr.append(psnr(out["render"] * m, gt * m).mean())
+        ema_loss = 0.4 * loss + 0.6 * ema_loss
         if step % log_interval == 0:
-            postfix = {"epoch": step // len(dataset), "loss": ema_loss,
+            postfix = {"epoch": step // len(dataset),
+                       "loss": float(ema_loss),
                        "psnr": avg_psnr, "n": gaussians.num_points}
             if avg_maskpsnr > 0:
                 postfix["masked psnr"] = avg_maskpsnr

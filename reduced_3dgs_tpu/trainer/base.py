@@ -17,6 +17,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..dataset.camera import Camera
 from ..ops.ssim import ssim
@@ -200,6 +201,19 @@ class BaseTrainer(AbstractTrainer):
         self._key_buffer_size[hw] = min(self.key_buffer_for(camera) * 2,
                                         max(self.capacity, 1) * tiles)
 
+    def shrink_key_buffer(self, camera: Camera, max_rendered: int):
+        """Adapt the static entry buffer down toward observed usage.
+
+        Sized to 2x the recent peak, rounded to a sqrt(2) tier so resizes
+        (recompiles) stay rare; only applied when it at least ~1.4x-shrinks
+        the buffer, with hysteresis against ping-ponging."""
+        hw = (camera.image_height, camera.image_width)
+        cur = self.key_buffer_for(camera)
+        desired = F.bucket_capacity(max(2 * max_rendered, 2048),
+                                    granularity=2048, headroom=1.0)
+        if desired < cur and desired * 7 // 5 <= cur:
+            self._key_buffer_size[hw] = desired
+
     def update(self, outer: AbstractTrainer, camera: Camera):
         """Fused grads+Adam step using the outermost composed loss."""
         self.maybe_advance_schedules()
@@ -222,11 +236,35 @@ class BaseTrainer(AbstractTrainer):
             cam_params)
         if consume_cam_grads is not None:
             consume_cam_grads(gcam)
-        if "overflow" in out and bool(out["overflow"]):
-            # This step trained on a truncated entry list (still a valid
-            # partial gradient); grow the buffer so subsequent steps see the
-            # full list — mirrors the reference's lazy buffer resize.
-            self.grow_key_buffer(camera)
+        # Key-buffer management runs in arrears, several steps late: reading
+        # the flags of the step just dispatched would block the host on the
+        # whole step and destroy dispatch pipelining (a ~40 ms/step stall
+        # over the remote TPU tunnel); by the time a flag is 8 steps old its
+        # bool() is free. A step that trained on a truncated entry list
+        # still produced a valid partial gradient; the buffer regrows for
+        # subsequent steps — mirrors the reference's lazy buffer resize
+        # (rasterizer_impl.cu:163-202). The same drain also SHRINKS the
+        # buffer toward the observed num_rendered: every per-entry op
+        # (sort, scans, gathers, chunk grid) scales with the static buffer
+        # size, and the initial heuristic is typically several x too big.
+        if "overflow" in out:
+            backlog = getattr(self, "_overflow_backlog", None)
+            if backlog is None:
+                backlog = self._overflow_backlog = []
+            backlog.append((out["overflow"],
+                            out.get("num_rendered", jnp.int32(0)), camera))
+            if len(backlog) >= 64:
+                # One stacked transfer: each individual scalar fetch is a
+                # full round trip over the remote TPU tunnel (~25 ms).
+                flags = np.asarray(jnp.stack([f for f, _, _ in backlog]))
+                rendered = np.asarray(jnp.stack([r for _, r, _ in backlog]))
+                if flags.any():
+                    self.grow_key_buffer(backlog[int(flags.argmax())][2])
+                elif rendered.max() > 0:
+                    import os as _os
+                    if _os.environ.get("R3DGS_NO_KEY_SHRINK") != "1":
+                        self.shrink_key_buffer(camera, int(rendered.max()))
+                backlog.clear()
         self.model.set_parameters(new_params)
         self.adam = new_adam
         self.xyz_grad_accum, self.xyz_grad_denom = xyz_accum, denom

@@ -20,14 +20,16 @@ from ..config import CAPACITY_GRANULARITY
 
 
 def bucket_capacity(n: int, granularity: int = CAPACITY_GRANULARITY,
-                    headroom: float = 1.5) -> int:
-    """Capacity bucket: headroom then round up to the granularity (keeps the
-    number of distinct compiled shapes logarithmic in N)."""
+                    headroom: float = 1.3) -> int:
+    """Capacity bucket: headroom, then round up to the next sqrt(2)-spaced
+    tier (multiples of the granularity). Tiers keep the number of distinct
+    compiled shapes logarithmic in N while capping padding waste at ~41%
+    (power-of-two tiers wasted up to 2x, which every per-Gaussian op pays)."""
     target = max(int(n * headroom), granularity)
-    p = granularity
-    while p < target:
-        p *= 2
-    return p
+    cap = granularity
+    while cap < target:
+        cap = -(-int(cap * 1.4142135) // granularity) * granularity
+    return cap
 
 
 def pad_axis0(tree: Any, capacity: int) -> Any:
