@@ -124,11 +124,16 @@ def bin_and_sort(rect_min, rect_max, tiles_touched, depths, *,
         [jnp.ones((1,), bool), s_tile[1:] != s_tile[:-1]])
     seg_start_pos = jax.lax.associative_scan(
         jnp.maximum, jnp.where(is_start, pos, 0))          # [K]
-    return dict(s_gidx=s_gidx, s_tile=s_tile, s_valid=s_valid, s_pos=s_pos,
-                seg_start_pos=seg_start_pos,
-                seg_ids=jnp.minimum(s_tile, num_tiles), pos=pos,
-                overflow=overflow, total=total,
-                offsets=offsets, counts=counts)
+    # Binning/sort outputs are discrete decisions (emission order, indices,
+    # counts): semantically non-differentiable. stop_gradient keeps the
+    # depth sort key out of the autodiff graph — gradients reach the
+    # renderer only through the gathered per-Gaussian fields.
+    return jax.lax.stop_gradient(
+        dict(s_gidx=s_gidx, s_tile=s_tile, s_valid=s_valid, s_pos=s_pos,
+             seg_start_pos=seg_start_pos,
+             seg_ids=jnp.minimum(s_tile, num_tiles), pos=pos,
+             overflow=overflow, total=total,
+             offsets=offsets, counts=counts))
 
 
 def render_tiled(
@@ -176,6 +181,8 @@ def render_tiled(
         out_h = tiles_y * config.BLOCK_Y
     num_tiles = tiles_x * tiles_y
     K = key_buffer_size or default_key_buffer_size(N, tiles_x, tiles_y)
+    if use_pallas and not with_stats:
+        K = -(-K // 256) * 256   # Pallas step grid requires CHUNK-aligned K
 
     pre = common.preprocess(means3d, opacities_raw, scales, rotations, shs,
                             settings, alive=alive,
@@ -192,14 +199,15 @@ def render_tiled(
 
     if use_pallas and not with_stats:
         # Fast path: per-tile Pallas compositing kernels (custom VJP) fed
-        # straight from the per-Gaussian field matrix — gather, padding and
-        # their scatter-free transposes are fused into the kernel VJP.
-        from .pallas_kernel import (composite_from_fields,
-                                    inverse_permutation, pack_fields)
+        # straight from the per-Gaussian field matrix — the per-entry
+        # gather and its scatter-free transpose are fused into the kernel
+        # VJP, and the kernel consumes the compact sorted buffer in place.
+        from .pallas_kernel import (composite_sorted, inverse_permutation,
+                                    pack_fields)
         if pallas_interpret is None:
             pallas_interpret = jax.default_backend() != "tpu"
         range_start, range_end = tile_ranges(s_tile, K, num_tiles)
-        color4, final_t = composite_from_fields(
+        color4, final_t = composite_sorted(
             pack_fields(pre), s_gidx, inverse_permutation(ent["s_pos"]),
             ent["offsets"], ent["counts"], s_tile, range_start, range_end,
             tile_row_offset, tiles_x, num_tiles, bool(pallas_interpret))

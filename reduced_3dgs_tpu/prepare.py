@@ -7,8 +7,8 @@ trainer constructors (:39-50), `prepare_quantizer` (:53-92), and
 
 Backends: the single TPU renderer subsumes the reference's "inria" and
 "gsplat" CUDA backends (both are 3DGS rasterizers; ours is the tiled
-JAX/XLA pipeline). "gsplat-2dgs" (surfel splatting) is registered but not
-implemented yet.
+JAX/XLA pipeline). "gsplat-2dgs" (surfel splatting with depth-normal
+regularization, ops/rasterize/twodgs.py) maps to the 2DGS model classes.
 """
 from __future__ import annotations
 

@@ -13,6 +13,7 @@ Adam -> accumulator update. Recompiles happen only per distinct
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Optional
 
 import jax
@@ -145,7 +146,9 @@ class BaseTrainer(AbstractTrainer):
     def _build_step_fn(self, loss_fn, key_buffer: int, camera_apply=None):
         model = self.model
 
-        @functools.partial(jax.jit, donate_argnums=(0, 2, 3, 4, 5))
+        @functools.partial(jax.jit, donate_argnums=(
+            () if os.environ.get("R3DGS_NO_DONATE") == "1"
+            else (0, 2, 3, 4, 5)))
         def step_fn(params, aux, adam, xyz_accum, denom, max_radii,
                     camera, n_alive, lr_xyz, extras, cam_params):
             c = params["xyz"].shape[0]
