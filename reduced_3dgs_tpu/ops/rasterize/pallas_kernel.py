@@ -22,10 +22,12 @@ Mosaic's 128-lane tiling):
   * Entry chunks are auto-pipelined VMEM blocks whose index map revisits
     the same block across a boundary (no re-fetch). The per-tile
     accumulator state (color4, transmittance, early-termination latch)
-    lives in OUTPUT blocks whose index map is the step's tile id
-    (scalar-prefetched); consecutive steps of one tile revisit the same
-    resident block — the flash-attention accumulator idiom. No manual DMA,
-    no while loops.
+    lives in SCRATCH, carried across the steps of a tile, and each tile's
+    OUTPUT block (index = the step's scalar-prefetched tile id) is written
+    exactly once at the tile's last step. Accumulating directly into
+    revisited output blocks instead serialises the pipeline behind the
+    block DMAs (8x slower measured), and its reversed-grid flavor
+    miscompiles — see tile_composite_bwd. No manual DMA, no while loops.
   * Early termination: once every pixel of a tile has latched
     (T below 1e-4, forward.cu:549-554), remaining steps of that tile are
     predicated off with `pl.when`.
@@ -171,50 +173,77 @@ def step_layout(range_start, range_end, k: int, num_tiles: int):
 def _fwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
                 e_ref,                                  # [16, CHUNK] block
                 color_ref, t_ref, latch_ref,            # [BLOCK, *] tile state
+                color_acc, t_run, latch_acc, maxlatch,  # scratch
                 *, tiles_x: int, num_tiles: int):
     s = pl.program_id(0)
+    n = pl.num_programs(0)
     t = step_tile[s]
     sentinel = t >= num_tiles
     first = jnp.logical_or(s == 0, step_tile[jnp.maximum(s - 1, 0)] != t)
+    last = jnp.logical_or(s == n - 1,
+                          step_tile[jnp.minimum(s + 1, n - 1)] != t)
 
     @pl.when(first & jnp.logical_not(sentinel))
     def _():
-        color_ref[0] = jnp.zeros((BLOCK, 4), jnp.float32)
-        t_ref[0] = jnp.ones((BLOCK, 1), jnp.float32)
-        latch_ref[0] = jnp.full((BLOCK, 1), BIG, jnp.int32)
+        color_acc[:, :] = jnp.zeros((BLOCK, 4), jnp.float32)
+        t_run[:, :] = jnp.ones((BLOCK, 1), jnp.float32)
+        latch_acc[:, :] = jnp.full((BLOCK, 1), BIG, jnp.int32)
+        maxlatch[0, 0] = BIG
 
-    @pl.when(jnp.logical_not(sentinel))
+    # Early termination: skip once every pixel of the tile has latched
+    # (forward.cu:549-554). The flag lives in SMEM so the predicate does not
+    # synchronise on vector state.
+    live = jnp.logical_and(jnp.logical_not(sentinel), maxlatch[0, 0] >= BIG)
+
+    @pl.when(live)
     def _():
-        latch = latch_ref[0]
+        latch = latch_acc[:, :]
+        px, py = _pixel_cols(t, tiles_x, row_off[0])
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        gpos = step_chunk[s] * CHUNK + lane                 # [1,C] sorted pos
+        abar, gate, _, _, _, _, f = _alpha_gate(
+            e_ref[:, :], px, py, gpos, step_lo[s], step_hi[s])
+        _, _, _, _, _, _, r, g, b, depth = f
 
-        @pl.when(jnp.any(latch >= BIG))
+        T = t_run[:, :]
+        log1ma = jnp.log(1.0 - abar)                         # [P,C]
+        lex = _cumsum_lanes(log1ma, exclusive=True)
+        T_in = T * jnp.exp(lex)                              # [P,C]
+        trigger = gate & (T_in * (1.0 - abar) < config.T_EPS)
+        latch_new = jnp.minimum(
+            latch, jnp.min(jnp.where(trigger, gpos, BIG), axis=1,
+                           keepdims=True))                   # [P,1]
+        contrib = gate & (gpos < latch_new)
+        w = jnp.where(contrib, abar * T_in, 0.0)
+        color_acc[:, :] = color_acc[:, :] + jnp.concatenate([
+            jnp.sum(w * r, axis=1, keepdims=True),
+            jnp.sum(w * g, axis=1, keepdims=True),
+            jnp.sum(w * b, axis=1, keepdims=True),
+            jnp.sum(w * depth, axis=1, keepdims=True)], axis=1)
+        t_run[:, :] = T * jnp.exp(
+            jnp.sum(jnp.where(contrib, log1ma, 0.0), axis=1,
+                    keepdims=True))
+        latch_acc[:, :] = latch_new
+
+        # Refresh the early-exit flag only when the tile has further steps:
+        # a per-step SMEM write makes every step's predicate wait on the
+        # previous step's full vector reduce (a serial scalar chain that
+        # defeats pipelining); most tiles span 1-3 chunks and never need
+        # the flag at all.
+        @pl.when(jnp.logical_not(last))
         def _():
-            px, py = _pixel_cols(t, tiles_x, row_off[0])
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-            gpos = step_chunk[s] * CHUNK + lane             # [1,C] sorted pos
-            abar, gate, _, _, _, _, f = _alpha_gate(
-                e_ref[:, :], px, py, gpos, step_lo[s], step_hi[s])
-            _, _, _, _, _, _, r, g, b, depth = f
+            maxlatch[0, 0] = jnp.max(latch_new)
 
-            T = t_ref[0]
-            log1ma = jnp.log(1.0 - abar)                     # [P,C]
-            lex = _cumsum_lanes(log1ma, exclusive=True)
-            T_in = T * jnp.exp(lex)                          # [P,C]
-            trigger = gate & (T_in * (1.0 - abar) < config.T_EPS)
-            latch_new = jnp.minimum(
-                latch, jnp.min(jnp.where(trigger, gpos, BIG), axis=1,
-                               keepdims=True))               # [P,1]
-            contrib = gate & (gpos < latch_new)
-            w = jnp.where(contrib, abar * T_in, 0.0)
-            color_ref[0] = color_ref[0] + jnp.concatenate([
-                jnp.sum(w * r, axis=1, keepdims=True),
-                jnp.sum(w * g, axis=1, keepdims=True),
-                jnp.sum(w * b, axis=1, keepdims=True),
-                jnp.sum(w * depth, axis=1, keepdims=True)], axis=1)
-            t_ref[0] = T * jnp.exp(
-                jnp.sum(jnp.where(contrib, log1ma, 0.0), axis=1,
-                        keepdims=True))
-            latch_ref[0] = latch_new
+    # One output write per tile, at its last step: the per-step state lives
+    # entirely in scratch. (Accumulating directly into revisited output
+    # blocks serialises the pipeline behind the block DMAs — observed 8x
+    # slower — and the reversed-grid flavor of that pattern miscompiles;
+    # see tile_composite_bwd.)
+    @pl.when(last & jnp.logical_not(sentinel))
+    def _():
+        color_ref[0] = color_acc[:, :]
+        t_ref[0] = t_run[:, :]
+        latch_ref[0] = latch_acc[:, :]
 
 
 def tile_composite_fwd(e_packed, step_chunk, step_tile, step_lo, step_hi,
@@ -244,6 +273,12 @@ def tile_composite_fwd(e_packed, step_chunk, step_tile, step_lo, step_hi,
                          lambda s, sc, st, sl, sh, ro: (st[s], 0, 0),
                          memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((BLOCK, 4), jnp.float32),
+            pltpu.VMEM((BLOCK, 1), jnp.float32),
+            pltpu.VMEM((BLOCK, 1), jnp.int32),
+            pltpu.SMEM((1, 1), jnp.int32),
+        ],
     )
     return pl.pallas_call(
         functools.partial(_fwd_kernel, tiles_x=tiles_x, num_tiles=num_tiles),

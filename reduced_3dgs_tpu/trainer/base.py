@@ -207,14 +207,17 @@ class BaseTrainer(AbstractTrainer):
     def shrink_key_buffer(self, camera: Camera, max_rendered: int):
         """Adapt the static entry buffer down toward observed usage.
 
-        Sized to 2x the recent peak, rounded to a sqrt(2) tier so resizes
-        (recompiles) stay rare; only applied when it at least ~1.4x-shrinks
-        the buffer, with hysteresis against ping-ponging."""
+        Sized to 1.3x the recent peak, rounded to a 2048 tier so resizes
+        (recompiles) stay rare; only applied when it at least ~1.25x-shrinks
+        the buffer, with hysteresis against ping-ponging. Every per-entry
+        stage (sort, gathers, the chunk-step kernel grid) scales with the
+        static buffer size, so headroom is paid on every step — undershoot
+        is cheap because overflow just regrows and redispatches."""
         hw = (camera.image_height, camera.image_width)
         cur = self.key_buffer_for(camera)
-        desired = F.bucket_capacity(max(2 * max_rendered, 2048),
+        desired = F.bucket_capacity(max(int(1.3 * max_rendered), 2048),
                                     granularity=2048, headroom=1.0)
-        if desired < cur and desired * 7 // 5 <= cur:
+        if desired < cur and desired * 5 // 4 <= cur:
             self._key_buffer_size[hw] = desired
 
     def update(self, outer: AbstractTrainer, camera: Camera):
