@@ -287,6 +287,12 @@ class GaussianModel:
     def __call__(self, camera: Camera, **kwargs):
         return self.forward(camera, **kwargs)
 
+    def mark_visible(self, camera: Camera) -> jnp.ndarray:
+        """Frustum visibility of each point (reference
+        GaussianRasterizer.markVisible, diff_gaussian_rasterization/__init__.py:188-197)."""
+        from ..ops.rasterize.common import mark_visible
+        return mark_visible(self._xyz, camera.world_view_transform)
+
     # --- PLY I/O (standard 3DGS layout) -------------------------------------
     def ply_arrays(self):
         n = self.num_points

@@ -156,6 +156,17 @@ def preprocess(
     )
 
 
+def mark_visible(means3d: jnp.ndarray, viewmatrix: jnp.ndarray) -> jnp.ndarray:
+    """Frustum visibility mask (reference `mark_visible`,
+    /root/reference/submodules/diff-gaussian-rasterization/cuda_rasterizer/rasterizer_impl.cu:149-161).
+
+    `in_frustum` (auxiliary.h:139-159) computes NDC coordinates but its
+    decision reduces to the view-space near-plane test z > 0.2; the NDC
+    values are discarded, so only the z test is reproduced."""
+    p_view = proj.world_to_view(means3d, viewmatrix)
+    return p_view[..., 2] > config.NEAR_CULL_Z
+
+
 class CompositeCarry(NamedTuple):
     """Per-pixel compositing state carried across chunks."""
     T: jnp.ndarray          # [P] transmittance

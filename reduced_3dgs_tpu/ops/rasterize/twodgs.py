@@ -205,12 +205,19 @@ def render_tiled_2dgs(
     seg_start_pos, seg_ids = ent["seg_start_pos"], ent["seg_ids"]
     overflow, total = ent["overflow"], ent["total"]
 
-    e_M = pre["M"][s_gidx]                                 # [K,3,3]
-    e_md = pre["md"][s_gidx]                               # [K,3]
-    e_c2d = pre["center2d"][s_gidx]                        # [K,2]
-    e_op = pre["opacity"][s_gidx]                          # [K]
-    e_rgb = pre["rgb"][s_gidx]                             # [K,3]
-    e_nrm = pre["normal_view"][s_gidx]                     # [K,3]
+    # One fused [21, N] -> [21, K] row gather: per-field scalar/small-row
+    # gathers cost ~20 ms each per [1M] entries on v5e (see tiled.py
+    # bin_and_sort); a single multi-row 2-D gather is ~6 ms total.
+    fields = jnp.concatenate([
+        pre["M"].reshape(-1, 9).T, pre["md"].T, pre["center2d"].T,
+        pre["opacity"][None, :], pre["rgb"].T, pre["normal_view"].T], axis=0)
+    cols = jnp.take(fields, s_gidx, axis=1)                # [21, K]
+    e_M = cols[0:9].T.reshape(-1, 3, 3)                    # [K,3,3]
+    e_md = cols[9:12].T                                    # [K,3]
+    e_c2d = cols[12:14].T                                  # [K,2]
+    e_op = cols[14]                                        # [K]
+    e_rgb = cols[15:18].T                                  # [K,3]
+    e_nrm = cols[18:21].T                                  # [K,3]
     e_tile_x = (s_tile % tiles_x).astype(jnp.float32) * config.BLOCK_X
     e_tile_y = ((jnp.minimum(s_tile // tiles_x, tiles_y - 1)
                  + tile_row_offset).astype(jnp.float32) * config.BLOCK_Y)

@@ -42,6 +42,7 @@ class BaseTrainer(AbstractTrainer):
         opacity_lr: float = 0.05,
         scaling_lr: float = 0.005,
         rotation_lr: float = 0.001,
+        lambda_sh_sparsity: float = 0.0,
         key_buffer_factor: int = 6,
         **unused_configs,
     ):
@@ -59,6 +60,7 @@ class BaseTrainer(AbstractTrainer):
         self.opacity_lr = opacity_lr
         self.scaling_lr = scaling_lr
         self.rotation_lr = rotation_lr
+        self.lambda_sh_sparsity = lambda_sh_sparsity
         self.key_buffer_factor = key_buffer_factor
 
         self._curr_step = 0
@@ -102,16 +104,29 @@ class BaseTrainer(AbstractTrainer):
         # cache key, so it must be stable across steps.
         if getattr(self, "_photometric_loss", None) is None:
             lam = self.lambda_dssim
+            lam_sh = self.lambda_sh_sparsity
 
             def photometric(params, aux, out, camera, extras):
-                del params, aux, extras
+                del aux, extras
                 render = out["render"]
                 gt = camera.ground_truth_image
                 if camera.ground_truth_image_mask is not None:
                     render = render * camera.ground_truth_image_mask
                     gt = gt * camera.ground_truth_image_mask
-                return ((1.0 - lam) * l1_loss(render, gt)
+                loss = ((1.0 - lam) * l1_loss(render, gt)
                         + lam * (1.0 - ssim(render, gt)))
+                if lam_sh > 0.0:
+                    # L1 SH-sparsity: the reference injects lambda' *
+                    # sign(sh) straight into the backward per visible
+                    # Gaussian (backward.cu:56-121 with lambda' =
+                    # lambda_sh_sparsity / (visible*15*3),
+                    # rasterizer_impl.cu:549-571); here the same gradient
+                    # falls out of autodiffing the explicit L1 term.
+                    rest = params["features_rest"]
+                    visible = jnp.sum((out["radii"] > 0).astype(jnp.float32))
+                    denom = jnp.maximum(visible, 1.0) * rest.shape[1] * 3
+                    loss = loss + lam_sh * jnp.sum(jnp.abs(rest)) / denom
+                return loss
 
             self._photometric_loss = photometric
         return self._photometric_loss

@@ -96,3 +96,16 @@ def test_tile_rect():
     rmin, rmax = proj.tile_rect(pt, jnp.array([5.0]), 4, 4)
     np.testing.assert_array_equal(np.asarray(rmin)[0], [1, 1])
     np.testing.assert_array_equal(np.asarray(rmax)[0], [3, 3])
+
+
+def test_mark_visible():
+    import jax.numpy as jnp
+    from reduced_3dgs_tpu.dataset import build_camera
+    from reduced_3dgs_tpu.ops.rasterize.common import mark_visible
+
+    cam = build_camera(image_height=32, image_width=32, FoVx=1.0, FoVy=1.0)
+    pts = jnp.array([[0.0, 0.0, 5.0],    # in front
+                     [0.0, 0.0, 0.1],    # inside near-cull (z <= 0.2)
+                     [0.0, 0.0, -3.0]])  # behind
+    vis = mark_visible(pts, cam.world_view_transform)
+    assert vis.tolist() == [True, False, False]

@@ -113,3 +113,26 @@ def test_opacity_reset():
         trainer.step(ds[it % len(ds)])
     o = np.asarray(model.get_opacity)[: model.num_points]
     assert (o <= 0.0101).all()
+
+
+def test_sh_sparsity_loss_gradient():
+    """lambda_sh_sparsity adds the reference's L1 gradient lambda'*sign(sh)
+    on features_rest (backward.cu:56-121); with a large weight the SH rest
+    coefficients shrink faster than without it."""
+    gt_model, ds = _toy_scene()
+
+    def run(lam):
+        model = _perturbed_model(gt_model)
+        tr = BaseTrainer(model, ds, lambda_sh_sparsity=lam)
+        for it in range(20):
+            loss, _ = tr.step(ds[it % len(ds)])
+        p = model.parameters()
+        n = model.num_points
+        return float(loss), float(jnp.sum(jnp.abs(p["features_rest"][:n])))
+
+    l0, r0 = run(0.0)
+    l1, r1 = run(50.0)
+    assert l1 > l0          # the sparsity term contributes to the loss
+    assert r1 < r0 - 1.0    # and shrinks the SH rest coefficients
+    # (Adam normalizes per-coordinate step size, so the shrink rate is
+    # bounded by feature_lr/20 per step regardless of the weight.)
