@@ -173,8 +173,12 @@ def step_layout(range_start, range_end, k: int, num_tiles: int):
 def _fwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
                 e_ref,                                  # [16, CHUNK] block
                 color_ref, t_ref, latch_ref,            # [BLOCK, *] tile state
-                color_acc, t_run, latch_acc, maxlatch,  # scratch
-                *, tiles_x: int, num_tiles: int):
+                *rest,                                  # [stats_ref,] scratch
+                tiles_x: int, num_tiles: int, with_stats: bool = False):
+    if with_stats:
+        stats_ref, color_acc, t_run, latch_acc, maxlatch = rest
+    else:
+        color_acc, t_run, latch_acc, maxlatch = rest
     s = pl.program_id(0)
     n = pl.num_programs(0)
     t = step_tile[s]
@@ -195,6 +199,11 @@ def _fwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
     # synchronise on vector state.
     live = jnp.logical_and(jnp.logical_not(sentinel), maxlatch[0, 0] >= BIG)
 
+    if with_stats:
+        @pl.when(jnp.logical_not(live))
+        def _():
+            stats_ref[0] = jnp.zeros((8, CHUNK), jnp.float32)
+
     @pl.when(live)
     def _():
         latch = latch_acc[:, :]
@@ -203,7 +212,7 @@ def _fwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
         gpos = step_chunk[s] * CHUNK + lane                 # [1,C] sorted pos
         abar, gate, _, _, _, _, f = _alpha_gate(
             e_ref[:, :], px, py, gpos, step_lo[s], step_hi[s])
-        _, _, _, _, _, _, r, g, b, depth = f
+        _, _, _, _, op, r, g, b, depth = f[1:]
 
         T = t_run[:, :]
         log1ma = jnp.log(1.0 - abar)                         # [P,C]
@@ -224,6 +233,16 @@ def _fwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
             jnp.sum(jnp.where(contrib, log1ma, 0.0), axis=1,
                     keepdims=True))
         latch_acc[:, :] = latch_new
+
+        if with_stats:
+            # Per-entry pixel-aggregated counters (importance counting pass,
+            # N2 forward.cu:473-476, and the SH-culling transmittance
+            # accumulators, forward.cu:560-564), matching common.ChunkStats.
+            cnt = jnp.sum(contrib.astype(jnp.float32), axis=0, keepdims=True)
+            stats_ref[0] = jnp.concatenate([
+                cnt, cnt * op, jnp.sum(w, axis=0, keepdims=True),
+                jnp.sum(jnp.where(contrib, T_in, 0.0), axis=0, keepdims=True),
+                jnp.zeros((4, CHUNK), jnp.float32)], axis=0)  # [8, C]
 
         # Refresh the early-exit flag only when the tile has further steps:
         # a per-step SMEM write makes every step's predicate wait on the
@@ -248,31 +267,49 @@ def _fwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
 
 def tile_composite_fwd(e_packed, step_chunk, step_tile, step_lo, step_hi,
                        row_offset, tiles_x: int, num_tiles: int,
-                       interpret: bool = False):
+                       interpret: bool = False, with_stats: bool = False):
     """Run the forward compositing kernel over the incidence-step grid.
 
     e_packed: [16, K] compact (tile, depth)-sorted entry fields, K % CHUNK
     == 0. Returns (color4 [T+1,256,4], final_T [T+1,256,1], latch
-    [T+1,256,1]); row num_tiles is the sentinel bucket, rows of empty tiles
-    are garbage — callers mask with the tile counts."""
+    [T+1,256,1][, stats [8, K]]); row num_tiles is the sentinel bucket,
+    rows of empty tiles are garbage — callers mask with the tile counts.
+    Stats rows 0-3 per sorted entry: contributing-pixel count, count *
+    opacity, sum of blend weights, sum of incoming transmittance (the N2
+    counting pass + SH-culling accumulators); written as exclusive
+    per-step blocks and combined by chunk like the backward gradients."""
+    k = e_packed.shape[1]
     n_steps = step_chunk.shape[0]
+    out_specs = [
+        pl.BlockSpec((1, BLOCK, 4),
+                     lambda s, sc, st, sl, sh, ro: (st[s], 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BLOCK, 1),
+                     lambda s, sc, st, sl, sh, ro: (st[s], 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BLOCK, 1),
+                     lambda s, sc, st, sl, sh, ro: (st[s], 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((num_tiles + 1, BLOCK, 4), jnp.float32),
+        jax.ShapeDtypeStruct((num_tiles + 1, BLOCK, 1), jnp.float32),
+        jax.ShapeDtypeStruct((num_tiles + 1, BLOCK, 1), jnp.int32),
+    ]
+    if with_stats:
+        out_specs.append(
+            pl.BlockSpec((1, 8, CHUNK),
+                         lambda s, sc, st, sl, sh, ro: (s, 0, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_steps, 8, CHUNK), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(n_steps,),
         in_specs=[pl.BlockSpec((N_FIELDS, CHUNK),
                                lambda s, sc, st, sl, sh, ro: (0, sc[s]),
                                memory_space=pltpu.VMEM)],
-        out_specs=(
-            pl.BlockSpec((1, BLOCK, 4),
-                         lambda s, sc, st, sl, sh, ro: (st[s], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK, 1),
-                         lambda s, sc, st, sl, sh, ro: (st[s], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK, 1),
-                         lambda s, sc, st, sl, sh, ro: (st[s], 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((BLOCK, 4), jnp.float32),
             pltpu.VMEM((BLOCK, 1), jnp.float32),
@@ -280,17 +317,21 @@ def tile_composite_fwd(e_packed, step_chunk, step_tile, step_lo, step_hi,
             pltpu.SMEM((1, 1), jnp.int32),
         ],
     )
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel, tiles_x=tiles_x, num_tiles=num_tiles),
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, tiles_x=tiles_x, num_tiles=num_tiles,
+                          with_stats=with_stats),
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((num_tiles + 1, BLOCK, 4), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles + 1, BLOCK, 1), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles + 1, BLOCK, 1), jnp.int32),
-        ),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(step_chunk, step_tile, step_lo, step_hi,
       jnp.asarray([row_offset], jnp.int32), e_packed)
+    if not with_stats:
+        return out
+    color4, final_t, latch, s_steps = out
+    s_chunks = jax.ops.segment_sum(s_steps, step_chunk,
+                                   num_segments=k // CHUNK)
+    stats = jnp.moveaxis(s_chunks, 0, 1).reshape(8, k)
+    return color4, final_t, latch, stats
 
 
 # --------------------------------------------------------------------------
@@ -505,6 +546,24 @@ def _cs_fwd(fields10, s_gidx, inv_pos, offsets, counts, s_tile,
     return (color4, final_t), res
 
 
+def segment_reduce_emission(vals, inv_pos, offsets, counts):
+    """[R, K] sorted-entry values -> [R, N] per-Gaussian sums, scatter-free.
+
+    Entries were EMITTED per Gaussian in one contiguous run (bin_and_sort's
+    offsets/counts), so the per-Gaussian reduction is: permute the sorted
+    values back to emission order (inv_pos, a pure gather), take a running
+    prefix sum along entries, and difference it at each Gaussian's
+    [offset, offset+count) boundaries. XLA's scatter-add alternative runs
+    serially on TPU (~12 ms per 1.2M updates)."""
+    g_em = jnp.take(vals, inv_pos, axis=1)                  # emission order
+    prefix = jnp.concatenate(
+        [jnp.zeros((vals.shape[0], 1), vals.dtype),
+         jnp.cumsum(g_em, axis=1)], axis=1)                 # [R, K+1]
+    hi = jnp.minimum(offsets + counts, g_em.shape[1])
+    lo = jnp.minimum(offsets, g_em.shape[1])
+    return jnp.take(prefix, hi, axis=1) - jnp.take(prefix, lo, axis=1)
+
+
 def _cs_bwd(tiles_x, num_tiles, interpret, res, cot):
     (e_packed, steps, row_offset, final_t, latch, inv_pos, offsets,
      counts) = res
@@ -516,14 +575,7 @@ def _cs_bwd(tiles_x, num_tiles, interpret, res, cot):
         jnp.concatenate([g_color4, jnp.zeros((1, BLOCK, 4), g_color4.dtype)]),
         jnp.concatenate([g_t, jnp.zeros((1, BLOCK, 1), g_t.dtype)]),
         interpret)                                          # [10, K] sorted
-    g_em = jnp.take(grads, inv_pos, axis=1)                 # emission order
-    prefix = jnp.concatenate(
-        [jnp.zeros((g_em.shape[0], 1), g_em.dtype),
-         jnp.cumsum(g_em, axis=1)], axis=1)                 # [10, K+1]
-    dfields = (jnp.take(prefix, jnp.minimum(offsets + counts, g_em.shape[1]),
-                        axis=1)
-               - jnp.take(prefix, jnp.minimum(offsets, g_em.shape[1]),
-                          axis=1))                          # [10, N]
+    dfields = segment_reduce_emission(grads, inv_pos, offsets, counts)
     return dfields, None, None, None, None, None, None, None, None
 
 

@@ -232,7 +232,7 @@ def render_tiled(
         out_h = tiles_y * config.BLOCK_Y
     num_tiles = tiles_x * tiles_y
     K = key_buffer_size or default_key_buffer_size(N, tiles_x, tiles_y)
-    if use_pallas and not with_stats:
+    if use_pallas:
         K = -(-K // 256) * 256   # Pallas step grid requires CHUNK-aligned K
 
     pre = common.preprocess(means3d, opacities_raw, scales, rotations, shs,
@@ -248,30 +248,57 @@ def render_tiled(
     seg_start_pos, pos = ent["seg_start_pos"], ent["pos"]
     overflow, total = ent["overflow"], ent["total"]
 
-    if use_pallas and not with_stats:
-        # Fast path: per-tile Pallas compositing kernels (custom VJP) fed
-        # straight from the per-Gaussian field matrix — the per-entry
-        # gather and its scatter-free transpose are fused into the kernel
-        # VJP, and the kernel consumes the compact sorted buffer in place.
-        from .pallas_kernel import (composite_sorted, inverse_permutation,
-                                    pack_fields)
+    if use_pallas:
+        # Fast path: per-tile Pallas compositing kernels fed straight from
+        # the per-Gaussian field matrix — the per-entry gather and its
+        # scatter-free transpose are fused into the kernel custom VJP, and
+        # the kernel consumes the compact sorted buffer in place.
+        from . import pallas_kernel as pk
         if pallas_interpret is None:
             pallas_interpret = jax.default_backend() != "tpu"
         range_start, range_end = tile_ranges_from_rects(
             pre.rect_min, pre.rect_max, pre.tiles_touched, tiles_x, tiles_y,
             tile_row_offset, K)
-        color4, final_t = composite_sorted(
-            pack_fields(pre), s_gidx, inverse_permutation(ent["s_pos"]),
-            ent["offsets"], ent["counts"], s_tile, range_start, range_end,
-            tile_row_offset, tiles_x, num_tiles, bool(pallas_interpret))
+        inv_pos = pk.inverse_permutation(ent["s_pos"])
+        per_gauss_stats = None
+        if with_stats:
+            # Counting/stats pass (importance pruning, SH culling): an
+            # inference sweep — run the kernel primally, reduce the
+            # per-entry counters per Gaussian with the emission
+            # prefix-difference. Not differentiable (the reference's
+            # count pass has no autograd either, N2 __init__.py:139-188).
+            steps = pk.step_layout(range_start, range_end, K, num_tiles)
+            e_packed = jnp.take(pk.pack_fields(pre), s_gidx, axis=1)
+            color4, final_t, _, stats8 = pk.tile_composite_fwd(
+                e_packed, *steps, tile_row_offset, tiles_x, num_tiles,
+                bool(pallas_interpret), with_stats=True)
+            nonempty = (range_end - range_start > 0)[:, None, None]
+            color4 = jnp.where(nonempty, color4[:num_tiles], 0.0)
+            final_t = jnp.where(nonempty, final_t[:num_tiles], 1.0)
+            per_gauss_stats = pk.segment_reduce_emission(
+                stats8[:4], inv_pos, ent["offsets"], ent["counts"])
+            color4, final_t, per_gauss_stats = jax.lax.stop_gradient(
+                (color4, final_t, per_gauss_stats))
+        else:
+            color4, final_t = pk.composite_sorted(
+                pk.pack_fields(pre), s_gidx, inv_pos,
+                ent["offsets"], ent["counts"], s_tile, range_start,
+                range_end, tile_row_offset, tiles_x, num_tiles,
+                bool(pallas_interpret))
         colors = color4[:, :, :3]                           # [T,256,3]
         depths_img = color4[:, :, 3]                        # [T,256]
         T_img_tiles = final_t[:, :, 0]
-        stats_entries = None
-        return _assemble_outputs(
+        out = _assemble_outputs(
             colors, depths_img, T_img_tiles, pre, settings, tiles_x, tiles_y,
-            H, W, tile_rows, overflow, total, stats_entries, s_gidx, s_valid,
-            N, with_stats)
+            H, W, tile_rows, overflow, total, None, s_gidx, s_valid,
+            N, False)
+        if with_stats:
+            out["gaussians_count"] = per_gauss_stats[0].astype(jnp.int32)
+            out["opacity_important_score"] = per_gauss_stats[1]
+            out["T_alpha_important_score"] = per_gauss_stats[2]
+            out["touched_pixels"] = per_gauss_stats[0].astype(jnp.int32)
+            out["transmittance_sum"] = per_gauss_stats[3]
+        return out
 
     # --- gather per-entry data (XLA segmented-scan path) -------------------
     # One fused [10, N] -> [10, K] row gather (see bin_and_sort: scalar

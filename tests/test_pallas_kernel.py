@@ -82,3 +82,22 @@ def test_pallas_viewport_band():
     stitched = np.concatenate(bands, axis=1)[:, :64, :]
     np.testing.assert_allclose(stitched, np.asarray(full["render"]),
                                atol=1e-4)
+
+
+def test_pallas_stats_match_xla():
+    """The kernel's per-entry counters reduced per Gaussian must equal the
+    XLA segmented-scan stats path (importance counting + SH-culling
+    accumulators)."""
+    s = make_settings(48, 48)
+    args = _args(60, key=6)
+    ref = render_tiled(*args, s, with_stats=True)
+    pal = render_tiled(*args, s, with_stats=True, use_pallas=True,
+                       pallas_interpret=True)
+    np.testing.assert_array_equal(np.asarray(pal["gaussians_count"]),
+                                  np.asarray(ref["gaussians_count"]))
+    for k in ["opacity_important_score", "T_alpha_important_score",
+              "transmittance_sum"]:
+        np.testing.assert_allclose(np.asarray(pal[k]), np.asarray(ref[k]),
+                                   rtol=1e-4, atol=1e-4, err_msg=k)
+    np.testing.assert_allclose(np.asarray(pal["render"]),
+                               np.asarray(ref["render"]), atol=1e-4)
