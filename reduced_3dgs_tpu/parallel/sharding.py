@@ -121,7 +121,11 @@ class ShardedTrainer(Trainer):
                         model.masked_features(pp, aux_),
                         settings, alive=alive_, mean2d_offset_ndc=off,
                         key_buffer_size=key_buffer,
-                        tile_row_offset=row0, tile_rows=band_tiles)
+                        tile_row_offset=row0, tile_rows=band_tiles,
+                        # Pallas kernels per band on real chips; the pure
+                        # XLA path on CPU test meshes (interpret mode would
+                        # be far slower than the scan path there).
+                        use_pallas=jax.default_backend() == "tpu")
                     # Exact full image on every tile rank: gather the bands.
                     img_bands = jax.lax.all_gather(
                         band["render"], "tile")           # [n_tile,3,bh,W]
@@ -221,12 +225,14 @@ def render_sharded(model, camera: Camera, mesh: Mesh, **kwargs):
         from ..ops.rasterize.tiled import render_tiled
         settings = model.render_settings(camera)
         row0 = jax.lax.axis_index("tile") * band_tiles
+        kw = dict(kwargs)
+        kw.setdefault("use_pallas", jax.default_backend() == "tpu")
         band = render_tiled(
             p["xyz"], p["opacity"], model.scaling_activation(p["scaling"]),
             p["rotation"] / jnp.maximum(jnp.linalg.norm(
                 p["rotation"], axis=-1, keepdims=True), 1e-12),
             model.masked_features(p, aux_), settings, alive=alive_,
-            tile_row_offset=row0, tile_rows=band_tiles, **kwargs)
+            tile_row_offset=row0, tile_rows=band_tiles, **kw)
         return band["render"].transpose(1, 2, 0)[None]
 
     bands = go((params, aux, alive), camera)
