@@ -84,6 +84,25 @@ def _cumsum_lanes(x, exclusive: bool = False):
     return acc - x if exclusive else acc
 
 
+def _cumprod_lanes(x):
+    """Inclusive cumulative product over the lane axis of a [P, CHUNK] block.
+
+    Same rotate ladder as _cumsum_lanes with (*, 1) instead of (+, 0). The
+    forward kernel uses this directly on (1 - abar) — products of factors
+    <= 1 only lose to underflow, exactly where the early-termination latch
+    has already killed the tile — so the log->ladder->exp round trip (two
+    extra transcendentals per pixel-entry pair) is forward-only waste. The
+    backward replay still runs in log space: it divides suffix products out
+    of final_T, which must not underflow (backward.cu:541 analog)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    acc = x
+    s = 1
+    while s < CHUNK:
+        acc = acc * jnp.where(lane >= s, pltpu.roll(acc, s, 1), 1.0)
+        s *= 2
+    return acc
+
+
 def _pixel_cols(tile_id, tiles_x: int, row_offset):
     """Pixel center coordinates of one tile as [BLOCK, 1] columns (x, y)."""
     tx = (tile_id % tiles_x) * config.BLOCK_X
@@ -215,10 +234,12 @@ def _fwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
         _, _, _, _, op, r, g, b, depth = f[1:]
 
         T = t_run[:, :]
-        log1ma = jnp.log(1.0 - abar)                         # [P,C]
-        lex = _cumsum_lanes(log1ma, exclusive=True)
-        T_in = T * jnp.exp(lex)                              # [P,C]
-        trigger = gate & (T_in * (1.0 - abar) < config.T_EPS)
+        one_m = 1.0 - abar                                   # [P,C]
+        cum = _cumprod_lanes(one_m)                          # inclusive
+        lane_pos = jax.lax.broadcasted_iota(jnp.int32, cum.shape, 1)
+        exc = jnp.where(lane_pos >= 1, pltpu.roll(cum, 1, 1), 1.0)
+        T_in = T * exc                                       # [P,C]
+        trigger = gate & (T * cum < config.T_EPS)            # = T_in*(1-abar)
         latch_new = jnp.minimum(
             latch, jnp.min(jnp.where(trigger, gpos, BIG), axis=1,
                            keepdims=True))                   # [P,1]
@@ -229,9 +250,8 @@ def _fwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
             jnp.sum(w * g, axis=1, keepdims=True),
             jnp.sum(w * b, axis=1, keepdims=True),
             jnp.sum(w * depth, axis=1, keepdims=True)], axis=1)
-        t_run[:, :] = T * jnp.exp(
-            jnp.sum(jnp.where(contrib, log1ma, 0.0), axis=1,
-                    keepdims=True))
+        t_run[:, :] = T * jnp.prod(
+            jnp.where(contrib, one_m, 1.0), axis=1, keepdims=True)
         latch_acc[:, :] = latch_new
 
         if with_stats:

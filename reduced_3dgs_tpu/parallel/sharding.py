@@ -90,10 +90,12 @@ class ShardedTrainer(Trainer):
 
         @functools.partial(jax.jit, donate_argnums=(0, 2, 3, 4, 5))
         def step_fn(params, aux, adam, xyz_accum, denom, max_radii,
-                    cameras, n_alive, lr_xyz, extras, cam_params):
+                    cameras, n_alive, extras, cam_params):
             del cam_params
             c = params["xyz"].shape[0]
             alive = F.alive_mask(c, n_alive)
+            extras = dict(extras)
+            extras["step"] = adam.count
             camera0 = cameras_first(cameras)
             H, W = camera0.image_height, camera0.image_width
             band_tiles, band_h, padded_h = band_layout(H, n_tile)
@@ -160,7 +162,7 @@ class ShardedTrainer(Trainer):
                 params, aux, alive, cameras, extras)
             gparams = F.mask_rows(gparams, alive)
             lr_tree = dict(self.lr_tree(params))
-            lr_tree["xyz"] = lr_xyz
+            lr_tree["xyz"] = self.xyz_lr_traced(adam.count)
             new_params, new_adam = adam_update(params, gparams, adam, lr_tree)
 
             visible = (radii > 0) & alive
@@ -193,7 +195,7 @@ class ShardedTrainer(Trainer):
          ) = self._step_fns[key](
             params, aux, self.adam, self.xyz_grad_accum, self.xyz_grad_denom,
             self.max_radii2d, cameras, self.n_alive,
-            jnp.float32(self.xyz_lr()), outer.loss_scalars(), {})
+            outer.loss_scalars(), {})
         self.model.set_parameters(new_params)
         self.adam = new_adam
         self.xyz_grad_accum, self.xyz_grad_denom = xyz_accum, denom

@@ -135,6 +135,18 @@ class BaseTrainer(AbstractTrainer):
     def xyz_lr(self) -> float:
         return self.position_lr_init * self.spatial_lr_scale
 
+    def xyz_lr_traced(self, step):
+        """xyz LR as a traced value of the device step counter.
+
+        Computed INSIDE the jitted step from python-float constants: an
+        eager `jnp.float32(self.xyz_lr())` argument is a fresh host->device
+        scalar transfer on every step, which stalls dispatch over the
+        remote TPU tunnel. Subclasses overriding the schedule must keep it
+        a pure function of `step` (plus python constants) so the step-fn
+        cache stays valid."""
+        del step
+        return jnp.float32(self.position_lr_init * self.spatial_lr_scale)
+
     def maybe_advance_schedules(self):
         """Called once per step before the update (Trainer adds behavior)."""
         return None
@@ -165,10 +177,15 @@ class BaseTrainer(AbstractTrainer):
             () if os.environ.get("R3DGS_NO_DONATE") == "1"
             else (0, 2, 3, 4, 5)))
         def step_fn(params, aux, adam, xyz_accum, denom, max_radii,
-                    camera, n_alive, lr_xyz, extras, cam_params):
+                    camera, n_alive, extras, cam_params):
             c = params["xyz"].shape[0]
             alive = F.alive_mask(c, n_alive)
             offset0 = jnp.zeros((c, 2), jnp.float32)
+            # Traced step counter for schedule-dependent loss terms (e.g.
+            # depth-weight decay) — computed in-graph so wrappers never ship
+            # a fresh host scalar every step.
+            extras = dict(extras)
+            extras["step"] = adam.count
 
             def lf(diff):
                 p, off, cp = diff
@@ -184,7 +201,8 @@ class BaseTrainer(AbstractTrainer):
             gparams = F.mask_rows(gparams, alive)
 
             lr_tree = dict(self.lr_tree(params))
-            lr_tree["xyz"] = lr_xyz
+            # pre-increment count == curr_step at call time (both start at 0)
+            lr_tree["xyz"] = self.xyz_lr_traced(adam.count)
             new_params, new_adam = adam_update(params, gparams, adam, lr_tree)
 
             radii = out["radii"]
@@ -222,17 +240,21 @@ class BaseTrainer(AbstractTrainer):
     def shrink_key_buffer(self, camera: Camera, max_rendered: int):
         """Adapt the static entry buffer down toward observed usage.
 
-        Sized to 1.3x the recent peak, rounded to a 2048 tier so resizes
-        (recompiles) stay rare; only applied when it at least ~1.25x-shrinks
-        the buffer, with hysteresis against ping-ponging. Every per-entry
-        stage (sort, gathers, the chunk-step kernel grid) scales with the
-        static buffer size, so headroom is paid on every step — undershoot
-        is cheap because overflow just regrows and redispatches."""
+        Sized to 1.15x the 64-step peak, rounded up to a x1.15-spaced tier
+        of 2048 multiples. Every per-entry stage (sort, gathers, the
+        chunk-step kernel grid) scales with the static buffer size, so
+        headroom is paid on EVERY step: the earlier sqrt(2) tiers averaged
+        ~60% waste (measured K=1.22M for 746k live entries). Undershoot is
+        cheap — overflow regrows the buffer at the next drain and the
+        truncated frames degrade gracefully. Shrinks apply only a full tier
+        down (hysteresis against recompile ping-pong)."""
         hw = (camera.image_height, camera.image_width)
         cur = self.key_buffer_for(camera)
-        desired = F.bucket_capacity(max(int(1.3 * max_rendered), 2048),
-                                    granularity=2048, headroom=1.0)
-        if desired < cur and desired * 5 // 4 <= cur:
+        target = max(int(1.15 * max_rendered), 2048)
+        desired = 2048
+        while desired < target:
+            desired = -(-int(desired * 1.15) // 2048) * 2048
+        if desired < cur and int(desired * 1.15) <= cur:
             self._key_buffer_size[hw] = desired
 
     def update(self, outer: AbstractTrainer, camera: Camera):
@@ -253,8 +275,7 @@ class BaseTrainer(AbstractTrainer):
          ) = self._step_fns[key](
             params, aux, self.adam, self.xyz_grad_accum,
             self.xyz_grad_denom, self.max_radii2d, camera,
-            self.n_alive, jnp.float32(self.xyz_lr()), outer.loss_scalars(),
-            cam_params)
+            self.n_alive, outer.loss_scalars(), cam_params)
         if consume_cam_grads is not None:
             consume_cam_grads(gcam)
         # Key-buffer management runs in arrears, several steps late: reading
@@ -352,6 +373,8 @@ class Trainer(BaseTrainer):
                  **configs):
         super().__init__(model, dataset, position_lr_init=position_lr_init,
                          **configs)
+        self.position_lr_final = position_lr_final
+        self.position_lr_max_steps = position_lr_max_steps
         self.sh_degree_up_interval = sh_degree_up_interval
         self._xyz_sched = get_expon_lr_func(
             lr_init=position_lr_init * self.spatial_lr_scale,
@@ -362,6 +385,18 @@ class Trainer(BaseTrainer):
 
     def xyz_lr(self) -> float:
         return self._xyz_sched(self._curr_step)
+
+    def xyz_lr_traced(self, step):
+        """Vanilla-3DGS log-lerp schedule, in-graph (see BaseTrainer note).
+
+        Matches utils/schedule.get_expon_lr_func with lr_delay_steps=0."""
+        import math
+        lr_init = self.position_lr_init * self.spatial_lr_scale
+        lr_final = self.position_lr_final * self.spatial_lr_scale
+        t = jnp.clip(step.astype(jnp.float32) / self.position_lr_max_steps,
+                     0.0, 1.0)
+        return jnp.exp(math.log(lr_init) * (1.0 - t)
+                       + math.log(lr_final) * t).astype(jnp.float32)
 
     def maybe_advance_schedules(self):
         if (self._curr_step > 0

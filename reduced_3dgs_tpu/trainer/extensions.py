@@ -83,28 +83,33 @@ class DepthSupervisor(TrainerWrapper):
                                         depth_l1_weight_final,
                                         max_steps=depth_l1_weight_max_steps)
         base = self.base_trainer.loss_pure()
+        import math
+        log_wi = math.log(max(depth_l1_weight_init, 1e-30))
+        log_wf = math.log(max(depth_l1_weight_final, 1e-30))
+        max_steps = depth_l1_weight_max_steps
 
         def with_depth(params, aux, out, camera, extras):
             loss = base(params, aux, out, camera, extras)
             if camera.ground_truth_depth is not None:
+                # Decay weight computed in-graph from the engine's traced
+                # step counter (extras["step"]) — matches get_expon_lr_func
+                # with no delay; avoids a per-step host scalar transfer.
+                t = jnp.clip(extras["step"].astype(jnp.float32) / max_steps,
+                             0.0, 1.0)
+                weight = jnp.exp(log_wi * (1.0 - t) + log_wf * t)
                 alpha = 1.0 - out["final_T"]
                 depth = out["depth"] / jnp.maximum(alpha, 1e-6)
                 valid = camera.ground_truth_depth > 0
                 err = jnp.abs(depth - camera.ground_truth_depth)
                 err = jnp.where(valid & (alpha > 0.5), err, 0.0)
                 denom = jnp.maximum(jnp.sum(valid), 1)
-                loss = loss + extras["depth_l1_weight"] * jnp.sum(err) / denom
+                loss = loss + weight * jnp.sum(err) / denom
             return loss
 
         self._loss = with_depth
 
     def loss_pure(self):
         return self._loss
-
-    def loss_scalars(self) -> Dict:
-        d = dict(super().loss_scalars())
-        d["depth_l1_weight"] = jnp.float32(self._sched(self.curr_step))
-        return d
 
 
 def DepthTrainerWrapper(base_trainer_constructor, model, dataset,
