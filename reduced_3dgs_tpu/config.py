@@ -31,3 +31,18 @@ CHUNK = 32
 
 # Default capacity bucket granularity for the growable Gaussian store.
 CAPACITY_GRANULARITY = 256
+
+# --- binning/sort strategy knobs (measured on v5e; env-overridable) ---------
+import os as _os
+
+# "packed": single uint32 sort key (tile bits | truncated positive-float
+# depth bits) — one-key sort, depth quantized to the remaining bits (order
+# deviations only between depths closer than ~2^-10 relative, invisible in
+# compositing and identical across this repo's render paths).
+# "2key": exact (tile int32, depth f32) two-key sort.
+SORT_MODE = _os.environ.get("R3DGS_SORT", "2key")
+
+# "gather": per-entry fields via one fused [rows, K] row gather.
+# "scan": one row scatter of per-Gaussian records at segment starts + a
+# carry-forward associative scan (no big gather).
+EMISSION_MODE = _os.environ.get("R3DGS_EMISSION", "gather")

@@ -40,8 +40,15 @@ def count_render(model: GaussianModel, camera: Camera) -> dict:
 
 
 def prune_list(model: GaussianModel, dataset: CameraDataset,
-               resize: Optional[int] = None):
-    """Sum the counters over every camera (reference :80-98)."""
+               resize: Optional[int] = None, mesh=None):
+    """Sum the counters over every camera (reference :80-98).
+
+    With `mesh` (a ("data","tile") jax.sharding.Mesh, as used by
+    parallel.ShardedTrainer), the sweep runs sharded: cameras across the
+    data axis, pixel bands across the tile axis (parallel/stats.py)."""
+    if mesh is not None:
+        from ..parallel.stats import sharded_prune_list
+        return sharded_prune_list(model, dataset, mesh, resize)
     n = model.capacity
     gaussian_count = jnp.zeros((n,), jnp.int32)
     opacity_score = jnp.zeros((n,), jnp.float32)
@@ -97,10 +104,11 @@ def prune_gaussians(
         prune_thr_count=None,
         prune_thr_T_alpha=None,
         prune_thr_T_alpha_avg=None,
-        v_pow: float = 0.1):
+        v_pow: float = 0.1,
+        mesh=None):
     """Reference :130-181; returns an [N] bool removal mask."""
     gaussian_list, opacity_imp_list, T_alpha_imp_list = prune_list(
-        gaussians, dataset, resize)
+        gaussians, dataset, resize, mesh=mesh)
     glist = gaussian_list.astype(jnp.float32)
 
     def t_alpha_avg():
@@ -187,6 +195,9 @@ class ImportancePruner(DensifierWrapper):
         if (self.importance_prune_from_iter <= step
                 <= self.importance_prune_until_iter
                 and step % self.importance_prune_interval == 0):
+            # When training is sharded, sweep sharded over the same mesh.
+            mesh = (getattr(self.trainer.engine, "mesh", None)
+                    if self.trainer is not None else None)
             remove_mask = prune_gaussians(
                 self.trainer.model, self.dataset, self.resize,
                 self.prune_type, self.prune_percent,
@@ -196,7 +207,8 @@ class ImportancePruner(DensifierWrapper):
                 self.prune_thr_count,
                 self.prune_thr_T_alpha,
                 self.prune_thr_T_alpha_avg,
-                self.v_pow)
+                self.v_pow,
+                mesh=mesh)
             ret = ret.merge_remove(remove_mask)
         return ret
 

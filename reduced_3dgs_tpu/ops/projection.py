@@ -94,7 +94,8 @@ def ndc2pix(v: jnp.ndarray, size) -> jnp.ndarray:
 
 
 def build_cov2d(means3d: jnp.ndarray, cov3d: jnp.ndarray, viewmatrix: jnp.ndarray,
-                focal_x, focal_y, tan_fovx, tan_fovy) -> jnp.ndarray:
+                focal_x, focal_y, tan_fovx, tan_fovy,
+                valid=None) -> jnp.ndarray:
     """EWA 2D screen-space covariance (forward.cu:162-202).
 
     Includes the 1.3*tan_fov frustum clamp on the view-space point (whose
@@ -105,12 +106,22 @@ def build_cov2d(means3d: jnp.ndarray, cov3d: jnp.ndarray, viewmatrix: jnp.ndarra
       means3d: [..., 3] world-space centers.
       cov3d: [..., 3, 3] world covariances.
       viewmatrix: [4, 4] row-vector world->view transform.
+      valid: optional [...] bool; rows that are culled anyway (near-plane
+        fail / dead slots). Their view z is replaced by 1 BEFORE the 1/tz
+        divisions: a dead slot sitting exactly on the camera plane (tz=0)
+        otherwise produces 0/0 = NaN in the forward, and while per-Gaussian
+        parameter grads are row-masked afterwards, grads of SHARED inputs
+        (the camera matrices in trainable-camera modes) sum over all rows
+        and would be poisoned. The reference never evaluates culled rows at
+        all (forward.cu:365-368); this gate is the vectorised equivalent.
 
     Returns:
       [..., 3] packed (cov_xx, cov_xy, cov_yy).
     """
     t = world_to_view(means3d, viewmatrix)
     tz = t[..., 2]
+    if valid is not None:
+        tz = jnp.where(valid, tz, 1.0)
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
     tx = jnp.clip(t[..., 0] / tz, -limx, limx) * tz
@@ -155,7 +166,11 @@ def invert_cov2d(cov2d: jnp.ndarray):
     """
     a, b, c = cov2d[..., 0], cov2d[..., 1], cov2d[..., 2]
     det = a * c - b * b
-    det_inv = jnp.where(det != 0.0, 1.0 / det, 0.0)
+    # Double-where: 1/det evaluated at det==0 has an infinite derivative,
+    # which turns the zero cotangent of the masked branch into 0*inf = NaN
+    # for grads of inputs shared across rows (camera matrices).
+    det_safe = jnp.where(det != 0.0, det, 1.0)
+    det_inv = jnp.where(det != 0.0, 1.0 / det_safe, 0.0)
     conic = jnp.stack([c * det_inv, -b * det_inv, a * det_inv], axis=-1)
     return conic, det
 

@@ -121,7 +121,8 @@ def preprocess(
     else:
         cov3d = cov3d_precomp
     cov2d = proj.build_cov2d(means3d, cov3d, settings.viewmatrix,
-                             focal_x, focal_y, settings.tanfovx, settings.tanfovy)
+                             focal_x, focal_y, settings.tanfovx, settings.tanfovy,
+                             valid=visible)
     conic, det = proj.invert_cov2d(cov2d)
     visible = visible & (det != 0.0)
 

@@ -140,24 +140,48 @@ def bin_and_sort(rect_min, rect_max, tiles_touched, depths, *,
     total = offsets[-1] + counts[-1]
     overflow = total > K
 
-    gidx = fill_ids_from_offsets(offsets, counts, K)      # [K]
     pos = jnp.arange(K, dtype=jnp.int32)
-    # ONE fused row-gather for every per-entry lookup: 1-D scalar gathers
-    # cost ~20 ms per [1M] on v5e while a [rows, N] -> [rows, K] 2-D gather
-    # of the same indices is ~6 ms TOTAL. Integer fields ride an f32
-    # carrier exactly (all values < 2^24; K is capped far below that).
     assert K < (1 << 24)
-    per_g = jnp.stack([
-        offsets.astype(jnp.float32), counts.astype(jnp.float32),
-        rect_min[:, 0].astype(jnp.float32), rect_w.astype(jnp.float32),
-        band_rmin_y.astype(jnp.float32), depths], axis=0)       # [6, N]
-    cols = jnp.take(per_g, gidx, axis=1)                        # [6, K]
-    off_e = cols[0].astype(jnp.int32)
-    cnt_e = cols[1].astype(jnp.int32)
-    rminx_e = cols[2].astype(jnp.int32)
-    rw_e = cols[3].astype(jnp.int32)
-    rby_e = cols[4].astype(jnp.int32)
-    depth_e = cols[5]
+    if config.EMISSION_MODE == "scan":
+        # One row scatter of each Gaussian's record at its segment start +
+        # a carry-forward (last-write-wins) associative scan. Avoids the
+        # separate fill_ids scatter AND the [6, K] row gather: scatter cost
+        # scales with the number of UPDATES (N), not with row width.
+        n_idx = jnp.arange(N, dtype=jnp.float32)
+        rows = jnp.stack([
+            jnp.ones((N,), jnp.float32), n_idx,
+            offsets.astype(jnp.float32), counts.astype(jnp.float32),
+            rect_min[:, 0].astype(jnp.float32), rect_w.astype(jnp.float32),
+            band_rmin_y.astype(jnp.float32), depths], axis=1)   # [N, 8]
+        seed_idx = jnp.where(counts > 0, offsets, K)
+        seeds = jnp.zeros((K, 8), jnp.float32).at[seed_idx].set(
+            rows, mode="drop")
+        rec = jax.lax.associative_scan(
+            lambda a, b: jnp.where(b[..., :1] > 0, b, a), seeds, axis=0)
+        gidx = rec[:, 1].astype(jnp.int32)
+        off_e = rec[:, 2].astype(jnp.int32)
+        cnt_e = rec[:, 3].astype(jnp.int32)
+        rminx_e = rec[:, 4].astype(jnp.int32)
+        rw_e = jnp.maximum(rec[:, 5].astype(jnp.int32), 1)
+        rby_e = rec[:, 6].astype(jnp.int32)
+        depth_e = rec[:, 7]
+    else:
+        gidx = fill_ids_from_offsets(offsets, counts, K)      # [K]
+        # ONE fused row-gather for every per-entry lookup: 1-D scalar
+        # gathers cost ~20 ms per [1M] on v5e while a [rows, N] -> [rows, K]
+        # 2-D gather of the same indices is ~6 ms TOTAL. Integer fields ride
+        # an f32 carrier exactly (all values < 2^24; K is capped below that).
+        per_g = jnp.stack([
+            offsets.astype(jnp.float32), counts.astype(jnp.float32),
+            rect_min[:, 0].astype(jnp.float32), rect_w.astype(jnp.float32),
+            band_rmin_y.astype(jnp.float32), depths], axis=0)   # [6, N]
+        cols = jnp.take(per_g, gidx, axis=1)                    # [6, K]
+        off_e = cols[0].astype(jnp.int32)
+        cnt_e = cols[1].astype(jnp.int32)
+        rminx_e = cols[2].astype(jnp.int32)
+        rw_e = cols[3].astype(jnp.int32)
+        rby_e = cols[4].astype(jnp.int32)
+        depth_e = cols[5]
     ordinal = pos - off_e
     entry_valid = (ordinal >= 0) & (ordinal < cnt_e) & (pos < total)
 
@@ -166,9 +190,28 @@ def bin_and_sort(rect_min, rect_max, tiles_touched, depths, *,
     tile_id = jnp.where(entry_valid, ty * tiles_x + tx, num_tiles)
 
     depth_key = jnp.where(entry_valid, depth_e, jnp.inf)
-    s_tile, _, s_gidx, s_pos = jax.lax.sort(
-        (tile_id.astype(jnp.int32), depth_key.astype(jnp.float32), gidx, pos),
-        num_keys=2)
+    if config.SORT_MODE == "packed":
+        # Single uint32 key: [tile_bits | truncated positive-float depth
+        # bits]. IEEE-754 bit patterns of positive floats are monotone, so
+        # truncating to the low field's width only quantizes the depth
+        # ORDER (~2^-10 relative resolution at 12 tile bits) — swaps occur
+        # only between depths that close, where compositing nearly
+        # commutes. The reference sorts the full 32-bit pattern inside a
+        # 64-bit key (rasterizer_impl.cu duplicateWithKeys); one-key
+        # sorting is measurably cheaper than the two-key form on TPU.
+        tile_bits = int(num_tiles + 1).bit_length()
+        depth_shift = 32 - tile_bits
+        dbits = jax.lax.bitcast_convert_type(
+            jnp.where(jnp.isfinite(depth_key), depth_key,
+                      jnp.float32(3.4e38)), jnp.uint32)
+        key = ((tile_id.astype(jnp.uint32) << depth_shift)
+               | (dbits >> tile_bits))
+        s_key, s_gidx, s_pos = jax.lax.sort((key, gidx, pos), num_keys=1)
+        s_tile = (s_key >> depth_shift).astype(jnp.int32)
+    else:
+        s_tile, _, s_gidx, s_pos = jax.lax.sort(
+            (tile_id.astype(jnp.int32), depth_key.astype(jnp.float32),
+             gidx, pos), num_keys=2)
     s_valid = s_tile < num_tiles
 
     is_start = jnp.concatenate(

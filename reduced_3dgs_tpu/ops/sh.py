@@ -105,8 +105,14 @@ def eval_sh(shs: jnp.ndarray, dirs: jnp.ndarray, degree: int = MAX_SH_DEGREE,
     return rgb
 
 
-def normalize_dirs(vecs: jnp.ndarray, eps: float = 0.0) -> jnp.ndarray:
-    """Normalise direction vectors (reference forward.cu:111-112)."""
+def normalize_dirs(vecs: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Normalise direction vectors (reference forward.cu:111-112).
+
+    The eps floor only binds for zero-length inputs — dead padded slots
+    whose xyz coincides with the camera center. Their 0/0 would otherwise
+    NaN the forward and (through the shared campos input) poison camera
+    gradients in trainable-camera modes; real visible Gaussians are at
+    least NEAR_CULL_Z away from the camera so the floor never binds."""
     norm = jnp.linalg.norm(vecs, axis=-1, keepdims=True)
     if eps:
         norm = jnp.maximum(norm, eps)

@@ -83,7 +83,6 @@ class ShardedTrainer(Trainer):
             self.mesh.shape["data"], self.mesh.shape["tile"])
 
     def _build_step_fn(self, loss_fn, key_buffer: int, camera_apply=None):
-        del camera_apply  # trainable cameras not yet supported in sharded mode
         model = self.model
         mesh = self.mesh
         n_tile = mesh.shape["tile"]
@@ -91,7 +90,6 @@ class ShardedTrainer(Trainer):
         @functools.partial(jax.jit, donate_argnums=(0, 2, 3, 4, 5))
         def step_fn(params, aux, adam, xyz_accum, denom, max_radii,
                     cameras, n_alive, extras, cam_params):
-            del cam_params
             c = params["xyz"].shape[0]
             alive = F.alive_mask(c, n_alive)
             extras = dict(extras)
@@ -99,21 +97,27 @@ class ShardedTrainer(Trainer):
             camera0 = cameras_first(cameras)
             H, W = camera0.image_height, camera0.image_width
             band_tiles, band_h, padded_h = band_layout(H, n_tile)
+            has_cam = bool(cam_params)
 
             @functools.partial(
                 jax.shard_map, mesh=mesh,
-                in_specs=(P(), P(), P(), P("data"), P()),
-                out_specs=(P(), P(), P("data")),
+                in_specs=(P(), P(), P(), P("data"), P(),
+                          P("data") if has_cam else P()),
+                out_specs=(P(), P(), P("data"),
+                           P("data") if has_cam else P()),
                 check_vma=False)
-            def device_step(p, aux_, alive_, camera, extras_):
+            def device_step(p, aux_, alive_, camera, extras_, cp):
                 camera = cameras_first(camera)
+                cp = cameras_first(cp) if has_cam else cp
                 tile_rank = jax.lax.axis_index("tile")
                 row0 = tile_rank * band_tiles
                 offset0 = jnp.zeros((c, 2), jnp.float32)
 
                 def lf(diff):
-                    pp, off = diff
-                    settings = model.render_settings(camera)
+                    pp, off, cpp = diff
+                    cam = (camera_apply(camera, cpp)
+                           if camera_apply is not None else camera)
+                    settings = model.render_settings(cam)
                     from ..ops.rasterize.tiled import render_tiled
                     band = render_tiled(
                         pp["xyz"], pp["opacity"],
@@ -128,38 +132,66 @@ class ShardedTrainer(Trainer):
                         # XLA path on CPU test meshes (interpret mode would
                         # be far slower than the scan path there).
                         use_pallas=jax.default_backend() == "tpu")
-                    # Exact full image on every tile rank: gather the bands.
-                    img_bands = jax.lax.all_gather(
-                        band["render"], "tile")           # [n_tile,3,bh,W]
-                    full = img_bands.transpose(1, 0, 2, 3).reshape(
-                        3, padded_h, W)[:, :H, :]
+
+                    # Exact full images on every tile rank: gather the
+                    # bands. SSIM's 11x11 window straddles band boundaries
+                    # and the depth loss normalises by full-image alpha, so
+                    # the loss must see the whole frame — bitwise identical
+                    # to single-chip.
+                    def gather_rows(x, axis):
+                        g = jax.lax.all_gather(x, "tile")  # [n_tile, ...]
+                        g = jnp.moveaxis(g, 0, axis)
+                        shp = list(x.shape)
+                        shp[axis] = padded_h
+                        g = g.reshape(
+                            shp[:axis]
+                            + [n_tile, x.shape[axis]] + shp[axis + 1:]
+                        ).reshape(shp)
+                        idx = [slice(None)] * len(shp)
+                        idx[axis] = slice(0, H)
+                        return g[tuple(idx)]
+
+                    full = gather_rows(band["render"], 1)       # [3,H,W]
+                    full_depth = gather_rows(band["depth"], 0)  # [H,W]
+                    full_T = gather_rows(band["final_T"], 0)    # [H,W]
                     out = {
                         "render": full,
                         "radii": band["radii"],
-                        "depth": band["depth"],
-                        "final_T": band["final_T"],
+                        "depth": full_depth,
+                        "final_T": full_T,
                         "overflow": band["overflow"],
+                        "num_rendered": band["num_rendered"],
                     }
-                    loss = loss_fn(pp, aux_, out, camera, extras_)
+                    loss = loss_fn(pp, aux_, out, cam, extras_)
                     return loss, out
 
                 (loss, out), grads = jax.value_and_grad(lf, has_aux=True)(
-                    (p, offset0))
-                gparams, goff = grads
+                    (p, offset0, cp))
+                gparams, goff, gcam = grads
                 # Sum over pixel bands; mean over data ranks.
                 gparams = jax.tree.map(
                     lambda g: jax.lax.pmean(jax.lax.psum(g, "tile"), "data"),
                     gparams)
                 loss = jax.lax.pmean(loss, ("data", "tile"))
                 goff = jax.lax.psum(goff, "tile")
+                gcam = jax.tree.map(
+                    lambda g: jax.lax.psum(g, "tile")[None], gcam)
                 radii = jax.lax.pmax(out["radii"], ("data", "tile"))
                 vs_norm = jax.lax.pmean(
                     jnp.linalg.norm(goff, axis=-1), "data")
-                render0 = out["render"][None]
-                return loss, (gparams, radii, vs_norm), render0
+                overflow = jax.lax.pmax(
+                    out["overflow"].astype(jnp.int32), ("data", "tile")) > 0
+                num_rendered = jax.lax.pmax(out["num_rendered"],
+                                            ("data", "tile"))
+                imgs0 = jax.tree.map(
+                    lambda x: x[None],
+                    (out["render"], out["depth"], out["final_T"]))
+                return (loss, (gparams, radii, vs_norm, overflow,
+                               num_rendered), imgs0, gcam)
 
-            loss, (gparams, radii, vs_norm), renders = device_step(
-                params, aux, alive, cameras, extras)
+            (loss, (gparams, radii, vs_norm, overflow, num_rendered),
+             imgs, gcam) = device_step(params, aux, alive, cameras, extras,
+                                       cam_params)
             gparams = F.mask_rows(gparams, alive)
             lr_tree = dict(self.lr_tree(params))
             lr_tree["xyz"] = self.xyz_lr_traced(adam.count)
@@ -170,32 +202,66 @@ class ShardedTrainer(Trainer):
             denom = denom + visible.astype(jnp.int32)
             max_radii = jnp.maximum(max_radii,
                                     jnp.where(visible, radii, 0))
+            renders, depths, finalTs = imgs
             out = {
                 "render": renders[0],
+                "depth": depths[0],
+                "final_T": finalTs[0],
                 "radii": radii,
+                "overflow": overflow,
+                "num_rendered": num_rendered,
                 "visibility_filter": visible,
                 "viewspace_grad_norm": vs_norm,
             }
             return (new_params, new_adam, xyz_accum, denom, max_radii,
-                    loss, out, {})
+                    loss, out, gcam)
 
         return step_fn
 
     def update(self, outer, cameras):
+        """One DPxSP step.
+
+        `cameras` is either a list of per-data-rank Cameras (required for
+        trainable-camera modes: per-camera adjustment slots are keyed by
+        camera identity) or an already-batched Camera pytree.
+        """
         self.maybe_advance_schedules()
         loss_fn = outer.loss_pure()
-        cam0 = cameras_first(cameras)
+        if isinstance(cameras, (list, tuple)):
+            cam_list = list(cameras)
+            n_data = self.mesh.shape["data"]
+            if len(cam_list) < n_data:   # short final batch: wrap around
+                cam_list = (cam_list * n_data)[:n_data]
+            batched = batch_cameras(cam_list)
+        else:
+            cam_list, batched = None, cameras
+        cam0 = cameras_first(batched)
+
+        camera_apply, cam_params, consumes = None, {}, None
+        if cam_list is not None:
+            adjs = [outer.camera_adjustment(c) for c in cam_list]
+            if all(a is not None for a in adjs):
+                cam_params = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *[a[0] for a in adjs])
+                camera_apply = adjs[0][1]
+                consumes = [a[2] for a in adjs]
+
         key_buffer = self.key_buffer_for(cam0)
-        key = self._cache_key(cam0, loss_fn, key_buffer, None)
+        key = self._cache_key(cam0, loss_fn, key_buffer, camera_apply)
         if key not in self._step_fns:
-            self._step_fns[key] = self._build_step_fn(loss_fn, key_buffer)
+            self._step_fns[key] = self._build_step_fn(loss_fn, key_buffer,
+                                                      camera_apply)
         params = self.model.parameters()
         aux = self.model.aux_state()
-        (new_params, new_adam, xyz_accum, denom, max_radii, loss, out, _
+        (new_params, new_adam, xyz_accum, denom, max_radii, loss, out, gcam
          ) = self._step_fns[key](
             params, aux, self.adam, self.xyz_grad_accum, self.xyz_grad_denom,
-            self.max_radii2d, cameras, self.n_alive,
-            outer.loss_scalars(), {})
+            self.max_radii2d, batched, self.n_alive,
+            outer.loss_scalars(), cam_params)
+        if consumes is not None:
+            for i, consume in enumerate(consumes):
+                consume(jax.tree.map(lambda g: g[i], gcam))
+        self._note_overflow(out, cam0)
         self.model.set_parameters(new_params)
         self.adam = new_adam
         self.xyz_grad_accum, self.xyz_grad_denom = xyz_accum, denom

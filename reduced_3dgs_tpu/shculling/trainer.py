@@ -53,21 +53,31 @@ def _low_distance_colour_culling(degrees, features_rest, threshold,
 
 
 def cull_sh_bands(model: VariableSHGaussianModel, cameras: CameraDataset,
-                  threshold: float = 0, std_threshold: float = 0.0):
+                  threshold: float = 0, std_threshold: float = 0.0,
+                  mesh=None):
     """Reference trainer.py:43-80 (runs statistics twice, like the original:
-    the first culling changes values the second pass must see)."""
+    the first culling changes values the second pass must see).
+
+    With `mesh`, both statistics sweeps run sharded over the ("data",
+    "tile") mesh (parallel/stats.py)."""
     params = model.parameters()
     degrees = model.aux_state()["degrees"]
     alive = model.alive_mask
 
-    _, weighted_variance, weighted_mean = calculate_colours_variance(
+    if mesh is not None:
+        from ..parallel.stats import sharded_colours_variance
+        stats_fn = lambda *a: sharded_colours_variance(*a, mesh=mesh)
+    else:
+        stats_fn = calculate_colours_variance
+
+    _, weighted_variance, weighted_mean = stats_fn(
         cameras, model, params, degrees, model.active_sh_degree, alive)
     degrees, f_dc, f_rest = _low_variance_colour_culling(
         degrees, params["features_dc"], params["features_rest"],
         std_threshold, weighted_variance, weighted_mean)
     params = dict(params, features_dc=f_dc, features_rest=f_rest)
 
-    colour_distances, _, _ = calculate_colours_variance(
+    colour_distances, _, _ = stats_fn(
         cameras, model, params, degrees, model.active_sh_degree, alive)
     degrees, f_rest = _low_distance_colour_culling(
         degrees, params["features_rest"], threshold, colour_distances,
@@ -101,7 +111,8 @@ class SHCuller(TrainerWrapper):
         ret = super().optim_step()
         if self.curr_step in self.cull_at_steps:
             cull_sh_bands(self.model, self.dataset, self.cdist_threshold,
-                          self.std_threshold)
+                          self.std_threshold,
+                          mesh=getattr(self.engine, "mesh", None))
         return ret
 
 

@@ -257,6 +257,53 @@ class BaseTrainer(AbstractTrainer):
         if desired < cur and int(desired * 1.15) <= cur:
             self._key_buffer_size[hw] = desired
 
+    def _note_overflow(self, out, camera):
+        """Lazy key-buffer management, shared by single-chip and sharded.
+
+        Runs in arrears, several steps late: reading the flags of the step
+        just dispatched would block the host on the whole step and destroy
+        dispatch pipelining (a ~40 ms/step stall over the remote TPU
+        tunnel); by the time a flag is 8 steps old its bool() is free. A
+        step that trained on a truncated entry list still produced a valid
+        partial gradient; the buffer regrows for subsequent steps — mirrors
+        the reference's lazy buffer resize (rasterizer_impl.cu:163-202).
+        The same drain also SHRINKS the buffer toward the observed
+        num_rendered: every per-entry op (sort, scans, gathers, chunk grid)
+        scales with the static buffer size, and the initial heuristic is
+        typically several x too big."""
+        if "overflow" not in out:
+            return
+        backlog = getattr(self, "_overflow_backlog", None)
+        if backlog is None:
+            backlog = self._overflow_backlog = []
+        backlog.append((out["overflow"],
+                        out.get("num_rendered", jnp.int32(0)), camera))
+        if len(backlog) >= 64:
+            # One stacked transfer: each individual scalar fetch is a
+            # full round trip over the remote TPU tunnel (~25 ms).
+            flags = np.asarray(jnp.stack([f for f, _, _ in backlog]))
+            rendered = np.asarray(jnp.stack([r for _, r, _ in backlog]))
+            if flags.any():
+                self.grow_key_buffer(backlog[int(flags.argmax())][2])
+                # Persistent overflow (the buffer keeps overflowing drain
+                # after drain despite regrowing) indicates a pathological
+                # scene/config; snapshot once for offline repro
+                # (utils/debug.py, reference debug-dump analog).
+                streak = getattr(self, "_overflow_streak", 0) + 1
+                self._overflow_streak = streak
+                if streak == 3:
+                    from ..utils.debug import trainer_snapshot
+                    trainer_snapshot(
+                        self, "persistent_overflow", camera,
+                        extra={"num_rendered_max": int(rendered.max()),
+                               "key_buffer": self._key_buffer_size})
+            elif rendered.max() > 0:
+                self._overflow_streak = 0
+                import os as _os
+                if _os.environ.get("R3DGS_NO_KEY_SHRINK") != "1":
+                    self.shrink_key_buffer(camera, int(rendered.max()))
+            backlog.clear()
+
     def update(self, outer: AbstractTrainer, camera: Camera):
         """Fused grads+Adam step using the outermost composed loss."""
         self.maybe_advance_schedules()
@@ -278,35 +325,7 @@ class BaseTrainer(AbstractTrainer):
             self.n_alive, outer.loss_scalars(), cam_params)
         if consume_cam_grads is not None:
             consume_cam_grads(gcam)
-        # Key-buffer management runs in arrears, several steps late: reading
-        # the flags of the step just dispatched would block the host on the
-        # whole step and destroy dispatch pipelining (a ~40 ms/step stall
-        # over the remote TPU tunnel); by the time a flag is 8 steps old its
-        # bool() is free. A step that trained on a truncated entry list
-        # still produced a valid partial gradient; the buffer regrows for
-        # subsequent steps — mirrors the reference's lazy buffer resize
-        # (rasterizer_impl.cu:163-202). The same drain also SHRINKS the
-        # buffer toward the observed num_rendered: every per-entry op
-        # (sort, scans, gathers, chunk grid) scales with the static buffer
-        # size, and the initial heuristic is typically several x too big.
-        if "overflow" in out:
-            backlog = getattr(self, "_overflow_backlog", None)
-            if backlog is None:
-                backlog = self._overflow_backlog = []
-            backlog.append((out["overflow"],
-                            out.get("num_rendered", jnp.int32(0)), camera))
-            if len(backlog) >= 64:
-                # One stacked transfer: each individual scalar fetch is a
-                # full round trip over the remote TPU tunnel (~25 ms).
-                flags = np.asarray(jnp.stack([f for f, _, _ in backlog]))
-                rendered = np.asarray(jnp.stack([r for _, r, _ in backlog]))
-                if flags.any():
-                    self.grow_key_buffer(backlog[int(flags.argmax())][2])
-                elif rendered.max() > 0:
-                    import os as _os
-                    if _os.environ.get("R3DGS_NO_KEY_SHRINK") != "1":
-                        self.shrink_key_buffer(camera, int(rendered.max()))
-                backlog.clear()
+        self._note_overflow(out, camera)
         self.model.set_parameters(new_params)
         self.adam = new_adam
         self.xyz_grad_accum, self.xyz_grad_denom = xyz_accum, denom

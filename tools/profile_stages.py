@@ -115,7 +115,7 @@ def main():
         p["xyz"] = p["xyz"] + carry * 1e-30
         return p
 
-    def stage_pre(carry, params, aux, camera, n_alive):
+    def stage_pre(carry, params, aux, camera, n_alive, adam):
         p = perturb(params, carry)
         alive = F.alive_mask(p["xyz"].shape[0], n_alive)
         arr = model.render_array_args(p, aux)
@@ -171,21 +171,21 @@ def main():
         return (tile_id.astype(jnp.int32), depth_key.astype(jnp.float32),
                 gidx, pos, offsets, counts, total)
 
-    def stage_emit(carry, params, aux, camera, n_alive):
-        carry, pre = stage_pre(carry, params, aux, camera, n_alive)
+    def stage_emit(carry, params, aux, camera, n_alive, adam):
+        carry, pre = stage_pre(carry, params, aux, camera, n_alive, adam)
         em = emission(pre)
         return carry + tree_sum(em) * 0, (pre, em)
 
-    def stage_sort(carry, params, aux, camera, n_alive):
-        carry, (pre, em) = stage_emit(carry, params, aux, camera, n_alive)
+    def stage_sort(carry, params, aux, camera, n_alive, adam):
+        carry, (pre, em) = stage_emit(carry, params, aux, camera, n_alive, adam)
         tile_id, depth_key, gidx, pos = em[:4]
         s_tile, _, s_gidx, s_pos = jax.lax.sort(
             (tile_id, depth_key, gidx, pos), num_keys=2)
         return carry + tree_sum((s_tile, s_gidx, s_pos)) * 0, (pre, em,
                                                                (s_tile, s_gidx, s_pos))
 
-    def stage_ranges(carry, params, aux, camera, n_alive):
-        carry, (pre, em, srt) = stage_sort(carry, params, aux, camera, n_alive)
+    def stage_ranges(carry, params, aux, camera, n_alive, adam):
+        carry, (pre, em, srt) = stage_sort(carry, params, aux, camera, n_alive, adam)
         s_tile, s_gidx, s_pos = srt
         range_start, range_end = tiled.tile_ranges_from_rects(
             pre.rect_min, pre.rect_max, pre.tiles_touched, tiles_x, tiles_y,
@@ -195,23 +195,23 @@ def main():
         return (carry + tree_sum((range_start, range_end, inv_pos, steps)) * 0,
                 (pre, em, srt, range_start, range_end, inv_pos, steps))
 
-    def stage_fwdkernel(carry, params, aux, camera, n_alive):
+    def stage_fwdkernel(carry, params, aux, camera, n_alive, adam):
         carry, (pre, em, srt, rs, re, inv_pos, steps) = stage_ranges(
-            carry, params, aux, camera, n_alive)
+            carry, params, aux, camera, n_alive, adam)
         s_tile, s_gidx, s_pos = srt
         e_packed = jnp.take(pk.pack_fields(pre), s_gidx, axis=1)
         color4, final_t, latch = pk.tile_composite_fwd(
             e_packed, *steps, jnp.int32(0), tiles_x, num_tiles, False)
         return carry + tree_sum((color4, final_t)) * 0, None
 
-    def stage_forward(carry, params, aux, camera, n_alive):
+    def stage_forward(carry, params, aux, camera, n_alive, adam):
         p = perturb(params, carry)
         alive = F.alive_mask(p["xyz"].shape[0], n_alive)
         out = model.render(p, camera, aux=aux, alive=alive,
                            key_buffer_size=K)
         return carry + tree_sum(out["render"]) * 0, None
 
-    def stage_loss(carry, params, aux, camera, n_alive):
+    def stage_loss(carry, params, aux, camera, n_alive, adam):
         p = perturb(params, carry)
         alive = F.alive_mask(p["xyz"].shape[0], n_alive)
         out = model.render(p, camera, aux=aux, alive=alive,
@@ -220,7 +220,7 @@ def main():
         loss = loss_fn(p, aux, out, camera, {})
         return carry + loss * 0, None
 
-    def stage_grad(carry, params, aux, camera, n_alive):
+    def stage_grad(carry, params, aux, camera, n_alive, adam):
         p0 = perturb(params, carry)
         alive = F.alive_mask(p0["xyz"].shape[0], n_alive)
         loss_fn = trainer.loss_pure()
@@ -233,6 +233,69 @@ def main():
         loss, grads = jax.value_and_grad(lf)(p0)
         return carry + loss * 0 + tree_sum(grads) * 0, None
 
+    def stage_sort_alt(carry, params, aux, camera, n_alive, adam):
+        """Other sort flavor than config.SORT_MODE (same prefix as +sort)."""
+        carry, (pre, em) = stage_emit(carry, params, aux, camera, n_alive, adam)
+        tile_id, depth_key, gidx, pos = em[:4]
+        if config.SORT_MODE == "packed":
+            s_tile, _, s_gidx, s_pos = jax.lax.sort(
+                (tile_id, depth_key, gidx, pos), num_keys=2)
+        else:
+            tile_bits = int(num_tiles + 1).bit_length()
+            depth_shift = 32 - tile_bits
+            dbits = jax.lax.bitcast_convert_type(depth_key, jnp.uint32)
+            keyp = ((tile_id.astype(jnp.uint32) << depth_shift)
+                    | (dbits >> tile_bits))
+            s_key, s_gidx, s_pos = jax.lax.sort((keyp, gidx, pos), num_keys=1)
+            s_tile = (s_key >> depth_shift).astype(jnp.int32)
+        return carry + tree_sum((s_tile, s_gidx, s_pos)) * 0, None
+
+    def stage_grad_offset(carry, params, aux, camera, n_alive, adam):
+        """Like the real step: grads wrt (params, offset), has_aux out."""
+        p0 = perturb(params, carry)
+        c = p0["xyz"].shape[0]
+        alive = F.alive_mask(c, n_alive)
+        loss_fn = trainer.loss_pure()
+        offset0 = jnp.zeros((c, 2), jnp.float32)
+
+        def lf(diff):
+            p, off = diff
+            out = model.render(p, camera, aux=aux, alive=alive,
+                               mean2d_offset_ndc=off, key_buffer_size=K)
+            return loss_fn(p, aux, out, camera, {}), out
+
+        (loss, out), grads = jax.value_and_grad(lf, has_aux=True)((p0, offset0))
+        return (carry + loss * 0 + tree_sum(grads) * 0
+                + tree_sum(out["render"]) * 0), None
+
+    def stage_full_body(carry, params, aux, camera, n_alive, adam):
+        """The entire step_fn body (grads+adam+accums), minus donation."""
+        from reduced_3dgs_tpu.trainer.optimizer import adam_update
+        p0 = perturb(params, carry)
+        c = p0["xyz"].shape[0]
+        alive = F.alive_mask(c, n_alive)
+        loss_fn = trainer.loss_pure()
+        offset0 = jnp.zeros((c, 2), jnp.float32)
+
+        def lf(diff):
+            p, off = diff
+            out = model.render(p, camera, aux=aux, alive=alive,
+                               mean2d_offset_ndc=off, key_buffer_size=K)
+            return loss_fn(p, aux, out, camera, {}), out
+
+        (loss, out), grads = jax.value_and_grad(lf, has_aux=True)((p0, offset0))
+        gparams, goff = grads
+        gparams = F.mask_rows(gparams, alive)
+        lr_tree = dict(trainer.lr_tree(p0))
+        lr_tree["xyz"] = trainer.xyz_lr_traced(adam.count)
+        new_params, new_adam = adam_update(p0, gparams, adam, lr_tree)
+        radii = out["radii"]
+        visible = (radii > 0) & alive
+        vs_norm = jnp.linalg.norm(goff, axis=-1)
+        acc = jnp.where(visible, vs_norm, 0.0)
+        return (carry + loss * 0 + tree_sum(new_params) * 0
+                + tree_sum(new_adam.m) * 0 + tree_sum(acc) * 0), None
+
     stages = [
         ("preprocess", stage_pre),
         ("emission(bin)", stage_emit),
@@ -242,14 +305,17 @@ def main():
         ("full_forward(render)", stage_forward),
         ("+loss(ssim)", stage_loss),
         ("+backward(grads)", stage_grad),
+        ("+backward(offset,out)", stage_grad_offset),
+        ("+adam+accum(body)", stage_full_body),
+        ("alt_sort(thru sort)", stage_sort_alt),
     ]
 
     results = {}
     prev = 0.0
-    fixed = (params, aux, cam, alive_n)
+    fixed = (params, aux, cam, alive_n, trainer.adam)
     for name, fn in stages:
-        jitted = jax.jit(lambda c, p, a, camera, na, _fn=fn: _fn(
-            c, p, a, camera, na)[0])
+        jitted = jax.jit(lambda c, p, a, camera, na, ad, _fn=fn: _fn(
+            c, p, a, camera, na, ad)[0])
         ms = time_chained(jitted, fixed, args_cli.steps)
         results[name] = {"cum_ms": round(ms, 3),
                          "delta_ms": round(ms - prev, 3)}
