@@ -63,6 +63,42 @@ def main():
     cam = cam.replace(ground_truth_image=gt)
     ds = CameraDataset([cam])
 
+    # --- on-hardware numerics gate (VERDICT r01 #4): the Pallas kernels
+    # must agree with the pure-XLA path ON THE REAL CHIP, not only in
+    # interpret mode (a rejected backward variant once passed interpret
+    # mode and miscompiled on v5e — pallas_kernel.py history). Forward
+    # image AND parameter gradients are compared each round.
+    parity_ok, parity_detail = None, {}
+    if os.environ.get("BENCH_PARITY", "1") == "1" and backend == "pallas":
+        from reduced_3dgs_tpu.trainer import functional as F
+        params = model.parameters()
+        aux = model.aux_state()
+        alive = F.alive_mask(params["xyz"].shape[0], model.num_points)
+        model_x = VariableSHGaussianModel(3, render_backend="xla")
+        model_x.set_parameters(params)
+        model_x.init_degrees()
+        model_x.active_sh_degree = 3
+
+        def loss_of(m):
+            def f(p):
+                out = m.render(p, cam, aux=aux, alive=alive,
+                               key_buffer_size=1 << 20)
+                return jnp.mean((out["render"] - gt) ** 2), out["render"]
+            return jax.jit(jax.value_and_grad(f, has_aux=True))
+
+        (_, img_p), g_p = loss_of(model)(params)
+        (_, img_x), g_x = loss_of(model_x)(params)
+        img_diff = float(jnp.max(jnp.abs(img_p - img_x)))
+        grad_rel = {}
+        for k in g_p:
+            scale = float(jnp.max(jnp.abs(g_x[k]))) or 1.0
+            grad_rel[k] = float(jnp.max(jnp.abs(g_p[k] - g_x[k]))) / scale
+        parity_ok = bool(img_diff < 5e-3
+                         and all(v < 1e-2 for v in grad_rel.values()))
+        parity_detail = {"img_max_abs_diff": round(img_diff, 6),
+                         "grad_max_rel_diff": {k: round(v, 6)
+                                               for k, v in grad_rel.items()}}
+
     trainer = Trainer(model, ds)
     trainer.model.active_sh_degree = 3  # bench the full-SH path
 
@@ -85,7 +121,9 @@ def main():
         "value": round(pix_per_s, 1),
         "unit": "pixels/s (fwd+bwd+adam, single chip)",
         "vs_baseline": round(pix_per_s / PINNED_TARGET_PIX_S, 4),
+        "parity_ok": parity_ok,
         "detail": {
+            "parity": parity_detail,
             "backend": backend,
             "n_gaussians": n,
             "resolution": [HEIGHT, WIDTH],

@@ -105,15 +105,22 @@ def knn(points: jnp.ndarray, k: int, window: int = 256,
         invalid = cand_rows == idx[:, None]
         if mask is not None:
             invalid = invalid | ~mask[cand_rows]
-        # Deduplicate candidates appearing in several orderings: keep only the
-        # first occurrence (same index ==> same distance; mask duplicates by
-        # checking whether any earlier candidate slot holds the same index).
-        c = cand_rows.shape[1]
+        # Deduplicate candidates appearing in several orderings (same index
+        # ==> same distance; keeping both would push a true neighbour out of
+        # the top-k). Sort each row's candidate ids, flag equal-adjacent
+        # entries, and unsort via the inverse permutation — O(C log C) per
+        # row instead of the O(C^2) pairwise compare (which at
+        # window=256 x 2 orders materialised [rows, 512, 512] bools and
+        # dominated the whole op).
         dup = jnp.zeros_like(invalid)
         if n_orders > 1:
-            eq = cand_rows[:, :, None] == cand_rows[:, None, :]
-            earlier = jnp.tril(jnp.ones((c, c), bool), k=-1)
-            dup = jnp.any(eq & earlier[None], axis=-1)
+            order_c = jnp.argsort(cand_rows, axis=1)
+            sorted_c = jnp.take_along_axis(cand_rows, order_c, axis=1)
+            dup_sorted = jnp.concatenate(
+                [jnp.zeros_like(sorted_c[:, :1], bool),
+                 sorted_c[:, 1:] == sorted_c[:, :-1]], axis=1)
+            inv = jnp.argsort(order_c, axis=1)
+            dup = jnp.take_along_axis(dup_sorted, inv, axis=1)
         dist = jnp.where(invalid | dup, jnp.inf, dist)
         neg, pos = jax.lax.top_k(-dist, k)
         return -neg, cand_rows[jnp.arange(cand_rows.shape[0])[:, None], pos]

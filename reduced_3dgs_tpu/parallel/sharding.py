@@ -35,6 +35,31 @@ from ..trainer.base import Trainer
 from ..trainer.optimizer import adam_update
 
 
+def distributed_init() -> bool:
+    """Multi-host (multi-process) initialisation, DCN-aware.
+
+    Single-host runs are a no-op. For multi-host, either the launcher
+    environment provides coordination (GKE/TPU-VM autodetection inside
+    jax.distributed.initialize) or JAX_COORDINATOR_ADDRESS /
+    JAX_PROCESS_ID / JAX_NUM_PROCESSES are set explicitly. After this,
+    jax.devices() spans every process's chips and make_mesh() lays the
+    ("data", "tile") mesh across them — put "data" (pure camera
+    parallelism, one psum/pmean of grads per step) across hosts so the
+    only inter-host traffic is the gradient reduction over DCN, and keep
+    "tile" (per-step band all_gathers) inside a host's ICI domain;
+    make_mesh's device order does this by construction (jax.devices()
+    groups by process, and the mesh is reshaped (data, tile) row-major).
+    """
+    import os
+    if os.environ.get("JAX_NUM_PROCESSES", "1") not in ("", "1"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ.get("JAX_COORDINATOR_ADDRESS"),
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
+        return True
+    return False
+
+
 def make_mesh(n_data: Optional[int] = None, n_tile: int = 1,
               devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .dataset.dataset import prepare_dataset
+from .metrics.lpips import lpips, lpips_available
 from .ops.ssim import ssim
 from .shculling import VariableSHGaussianModel
 from .utils.math import psnr
@@ -37,10 +38,16 @@ def render_dataset(model, dataset, out_dir: str, save_images: bool = True):
             save_image(os.path.join(out_dir, f"{i:05d}.png"), img)
         gt = camera.ground_truth_image
         if gt is not None:
-            metrics.append({
+            m = {
                 "psnr": float(psnr(img, gt).mean()),
                 "ssim": float(ssim(jnp.clip(img, 0, 1), gt)),
-            })
+            }
+            # LPIPS only when weights exist locally (the reference downloads
+            # torchvision weights at runtime, lpipsPyTorch/modules/utils.py;
+            # this environment cannot — see tools/export_lpips_weights.py).
+            if lpips_available():
+                m["lpips"] = float(lpips(jnp.clip(img, 0, 1), gt))
+            metrics.append(m)
     return metrics
 
 

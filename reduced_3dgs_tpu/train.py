@@ -78,6 +78,12 @@ def training(dataset, gaussians: GaussianModel, trainer: AbstractTrainer,
             quantizer.save_quantized(
                 gaussians, os.path.join(save_path, "point_cloud_quantized.ply"))
 
+    # Sharded engines consume one camera PER DATA RANK each step (pure data
+    # parallelism over views); single-chip engines consume one camera.
+    mesh = getattr(trainer.engine, "mesh", None)
+    n_data = int(mesh.shape["data"]) if mesh is not None else 1
+    cursor = 0
+
     for step in pbar:
         epoch_idx = step % len(dataset)
         if epoch_idx == 0:
@@ -89,9 +95,16 @@ def training(dataset, gaussians: GaussianModel, trainer: AbstractTrainer,
                             if epoch_maskpsnr else 0.0)
             epoch_psnr, epoch_maskpsnr = [], []
             random.shuffle(epoch)
-        idx = epoch[epoch_idx]
-        camera = dataset[idx]
-        loss, out = trainer.step(camera)
+        if n_data > 1:
+            cams = [dataset[epoch[(cursor + j) % len(epoch)]]
+                    for j in range(n_data)]
+            cursor = (cursor + n_data) % len(epoch)
+            camera = cams[0]
+            loss, out = trainer.step(cams)
+        else:
+            idx = epoch[epoch_idx]
+            camera = dataset[idx]
+            loss, out = trainer.step(camera)
         gt = camera.ground_truth_image
         if gt is not None:
             epoch_psnr.append(psnr(out["render"], gt).mean())
@@ -100,8 +113,20 @@ def training(dataset, gaussians: GaussianModel, trainer: AbstractTrainer,
                 epoch_maskpsnr.append(psnr(out["render"] * m, gt * m).mean())
         ema_loss = 0.4 * loss + 0.6 * ema_loss
         if step % log_interval == 0:
+            loss_now = float(ema_loss)
+            if not np.isfinite(loss_now):
+                # Reference-style failure dump (the CUDA rasterizer pickles
+                # its kernel args on crash); here: full trainer state +
+                # camera to .npz, then abort.
+                from .utils.debug import trainer_snapshot
+                path = trainer_snapshot(
+                    trainer.engine, "nonfinite_loss", camera,
+                    extra={"step": step, "loss": loss_now})
+                raise RuntimeError(
+                    f"non-finite loss {loss_now} at step {step}"
+                    + (f"; state dumped to {path}" if path else ""))
             postfix = {"epoch": step // len(dataset),
-                       "loss": float(ema_loss),
+                       "loss": loss_now,
                        "psnr": avg_psnr, "n": gaussians.num_points}
             if avg_maskpsnr > 0:
                 postfix["masked psnr"] = avg_maskpsnr
@@ -131,6 +156,16 @@ def main(argv=None):
     parser.add_argument("--save_iterations", nargs="+", type=int,
                         default=[7000, 30000])
     parser.add_argument("--device", default="tpu", type=str)
+    parser.add_argument("--mesh", default=None, type=str, metavar="DATAxTILE",
+                        help="Train sharded over a (data, tile) device mesh, "
+                             "e.g. '2x4' = 2-way camera data parallelism x "
+                             "4-way pixel-band parallelism (8 chips). "
+                             "'auto' lays all visible devices out as 1xN. "
+                             "Multi-host: set JAX_COORDINATOR_ADDRESS / "
+                             "JAX_PROCESS_ID / JAX_NUM_PROCESSES (or run "
+                             "under a launcher that does) — "
+                             "parallel.distributed_init() is called first "
+                             "and the mesh spans all processes' devices.")
     parser.add_argument("--empty_cache_every_step", action="store_true")
     parser.add_argument("-o", "--option", default=[], action="append",
                         type=str)
@@ -148,6 +183,18 @@ def main(argv=None):
             configs[k] = ast.literal_eval(v)
         except (ValueError, SyntaxError):
             configs[k] = v
+
+    if args.mesh:
+        from .parallel import (ShardedTrainer, distributed_init, make_mesh)
+        distributed_init()
+        if args.mesh == "auto":
+            import jax
+            mesh = make_mesh(n_data=1, n_tile=len(jax.devices()))
+        else:
+            n_data, n_tile = (int(x) for x in args.mesh.lower().split("x"))
+            mesh = make_mesh(n_data=n_data, n_tile=n_tile)
+        configs.setdefault("trainer_constructor", ShardedTrainer)
+        configs.setdefault("mesh", mesh)
 
     dataset, gaussians, trainer, quantizer = prepare_training(
         sh_degree=args.sh_degree, source=args.source, device=args.device,

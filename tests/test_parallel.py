@@ -86,3 +86,11 @@ def test_sharded_gradients_match_single_device():
     for k in params_single:
         np.testing.assert_allclose(params_sharded[k], params_single[k],
                                    rtol=2e-3, atol=2e-5, err_msg=k)
+
+
+def test_distributed_init_noop_single_host(monkeypatch):
+    from reduced_3dgs_tpu.parallel import distributed_init
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    assert distributed_init() is False
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "1")
+    assert distributed_init() is False

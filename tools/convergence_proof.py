@@ -1,0 +1,250 @@
+#!/usr/bin/env python
+"""Convergence + compression proof on a procedural mid-size scene.
+
+VERDICT r01 #3: the reference's value claim is "train truck to 30k, ~half
+the primitives, x27 smaller on disk, PSNR preserved" (README.md:221-231).
+No dataset ships in this image, so this drives the FULL flagship pipeline
+(densify -> redundancy/importance prune -> SH cull -> VQ quantize) on a
+procedurally generated scene — parametric surfaces sampled into a GT
+Gaussian cloud, rendered into ground-truth images from a real camera orbit
+— and records PSNR, point count, and on-disk size across the schedule.
+
+Usage (TPU, ~10 min):
+    python tools/convergence_proof.py
+Quick CPU smoke (tiny):
+    python tools/convergence_proof.py --preset smoke --device cpu
+
+Writes CONVERGENCE_r02.json at the repo root.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+# --------------------------------------------------------------- GT scene
+def surface_cloud(n: int, seed: int = 0) -> dict:
+    """Sample Gaussians on parametric surfaces (torus + sphere + ground).
+
+    Colors are smooth functions of position so the SH basis can represent
+    them; scales follow local sample spacing so the surfaces close up."""
+    rng = np.random.default_rng(seed)
+    n_t, n_s = int(n * 0.45), int(n * 0.30)
+    n_g = n - n_t - n_s
+
+    u = rng.uniform(0, 2 * np.pi, n_t)
+    v = rng.uniform(0, 2 * np.pi, n_t)
+    R0, r0 = 1.6, 0.55
+    torus = np.stack([(R0 + r0 * np.cos(v)) * np.cos(u),
+                      r0 * np.sin(v),
+                      (R0 + r0 * np.cos(v)) * np.sin(u)], -1)
+    tor_col = np.stack([0.5 + 0.45 * np.cos(u),
+                        0.5 + 0.45 * np.sin(2 * v),
+                        0.5 + 0.45 * np.sin(u + v)], -1)
+
+    dirs = rng.normal(size=(n_s, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    sphere = np.array([0.0, 1.4, 0.0]) + 0.8 * dirs
+    sph_col = 0.5 + 0.45 * dirs[:, [1, 2, 0]]
+
+    gx = rng.uniform(-4, 4, n_g)
+    gz = rng.uniform(-4, 4, n_g)
+    ground = np.stack([gx, np.full(n_g, -1.2), gz], -1)
+    checker = (np.floor(gx) + np.floor(gz)) % 2
+    gnd_col = np.stack([0.25 + 0.5 * checker,
+                        0.35 + 0.3 * checker,
+                        0.45 - 0.2 * checker], -1)
+
+    xyz = np.concatenate([torus, sphere, ground]).astype(np.float32)
+    col = np.clip(np.concatenate([tor_col, sph_col, gnd_col]),
+                  0.02, 0.98).astype(np.float32)
+    # local spacing ~ sqrt(area/n); denser surfaces -> smaller splats
+    area = np.array([4 * np.pi**2 * R0 * r0] * n_t
+                    + [4 * np.pi * 0.8**2] * n_s + [64.0] * n_g)
+    counts = np.array([n_t] * n_t + [n_s] * n_s + [n_g] * n_g)
+    spacing = np.sqrt(area / counts).astype(np.float32)
+    return {"xyz": xyz, "col": col, "spacing": spacing}
+
+
+def orbit_cameras(n_cams: int, hw):
+    from reduced_3dgs_tpu.dataset.camera import build_camera
+    H, W = hw
+    fovx = math.radians(65)
+    fovy = 2 * math.atan(math.tan(fovx / 2) * H / W)
+    cams = []
+    for i in range(n_cams):
+        ang = 2 * math.pi * i / n_cams
+        el = 0.25 + 0.2 * math.sin(3 * ang)
+        C = np.array([5.2 * math.cos(ang) * math.cos(el),
+                      5.2 * math.sin(el),
+                      5.2 * math.sin(ang) * math.cos(el)], np.float32)
+        fwd = -C / np.linalg.norm(C)
+        up = np.array([0, 1, 0], np.float32)
+        right = np.cross(up, fwd); right /= np.linalg.norm(right)
+        up2 = np.cross(fwd, right)
+        R_w2c = np.stack([right, up2, fwd])              # rows = cam axes
+        tvec = -R_w2c @ C
+        cams.append(build_camera(
+            image_height=H, image_width=W, FoVx=fovx, FoVy=fovy,
+            R=R_w2c.T, T=tvec))
+    return cams
+
+
+PRESETS = {
+    # GT gaussians, init points, resolution, steps, schedule scale
+    "full":  dict(n_gt=120_000, n_init=30_000, hw=(544, 976), iters=2000),
+    # mid: big enough for the schedule to breathe (opacity reset every ~90
+    # steps, not every 6), small enough for a CPU sanity run.
+    "mid":   dict(n_gt=20_000, n_init=6_000, hw=(136, 244), iters=900),
+    "smoke": dict(n_gt=4_000, n_init=1_500, hw=(64, 96), iters=60),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="full", choices=list(PRESETS))
+    ap.add_argument("--device", default=None)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "..", "CONVERGENCE_r02.json"))
+    args = ap.parse_args()
+    cfg = PRESETS[args.preset]
+
+    import jax
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from reduced_3dgs_tpu.dataset import CameraDataset
+    from reduced_3dgs_tpu.models import GaussianModel
+    from reduced_3dgs_tpu.prepare import modes
+    from reduced_3dgs_tpu.quantization import ExcludeZeroSHQuantizer
+    from reduced_3dgs_tpu.shculling import VariableSHGaussianModel
+    from reduced_3dgs_tpu.utils.math import psnr
+
+    t_start = time.time()
+    cloud = surface_cloud(cfg["n_gt"])
+
+    # GT model: opaque, isotropic splats sized by local spacing.
+    gt = GaussianModel(3)
+    n = cloud["xyz"].shape[0]
+    SH_C0 = 0.28209479177387814
+    gt.set_parameters(dict(
+        xyz=jnp.asarray(cloud["xyz"]),
+        features_dc=jnp.asarray((cloud["col"] - 0.5) / SH_C0)[:, None, :],
+        features_rest=jnp.zeros((n, 15, 3), jnp.float32),
+        scaling=jnp.log(jnp.asarray(cloud["spacing"]))[:, None].repeat(3, 1),
+        rotation=jnp.zeros((n, 4), jnp.float32).at[:, 0].set(1.0),
+        opacity=jnp.full((n, 1), 6.0, jnp.float32),     # sigmoid ~ 0.998
+    ))
+
+    cams = orbit_cameras(24 if args.preset == "full" else 4, cfg["hw"])
+    print(f"rendering {len(cams)} GT views...", flush=True)
+    cams = [c.replace(ground_truth_image=jnp.clip(gt(c)["render"], 0, 1))
+            for c in cams]
+    ds = CameraDataset(cams)
+
+    # Training init: noisy subsample of the GT cloud (synthetic SfM points).
+    rng = np.random.default_rng(7)
+    sel = rng.choice(n, cfg["n_init"], replace=False)
+    pts = cloud["xyz"][sel] + rng.normal(0, 0.02, (cfg["n_init"], 3))
+    cols = np.clip(cloud["col"][sel] + rng.normal(0, 0.08, (cfg["n_init"], 3)),
+                   0, 1)
+    model = VariableSHGaussianModel(3)
+    model.create_from_pcd(pts.astype(np.float32), cols.astype(np.float32),
+                          scene_extent=float(ds.scene_extent()))
+    model.init_degrees()
+
+    it = cfg["iters"]
+    s = it / 30000.0                                   # schedule scale factor
+    def sc(x):
+        return max(1, int(round(x * s)))
+    trainer = modes["densify-pruning-shculling"](
+        model, ds,
+        scene_extent=float(ds.scene_extent()),
+        densify_from_iter=sc(500), densify_until_iter=sc(15000),
+        densify_interval=max(10, sc(100)),
+        opacity_reset_interval=sc(3000),
+        prune_from_iter=sc(1000), prune_until_iter=sc(15000),
+        prune_interval=max(10, sc(100)),
+        importance_prune_from_iter=sc(15000),
+        importance_prune_until_iter=sc(20000),
+        importance_prune_interval=max(10, sc(1000)),
+        cull_at_steps=[sc(15000)],
+        iterations=it)
+
+    def eval_psnr():
+        vals = []
+        for c in cams[:: max(1, len(cams) // 6)]:
+            img = model(c)["render"]
+            vals.append(float(psnr(img, c.ground_truth_image).mean()))
+        return float(np.mean(vals))
+
+    history = []
+    order = list(range(len(ds)))
+    psnr0 = eval_psnr()
+    n_peak = model.num_points
+    print(f"init: psnr={psnr0:.2f} n={model.num_points}", flush=True)
+    for step in range(1, it + 1):
+        if step % len(order) == 1:
+            rng.shuffle(order)
+        loss, out = trainer.step(ds[order[step % len(order)]])
+        n_peak = max(n_peak, model.num_points)
+        if step % max(1, it // 20) == 0 or step == it:
+            row = {"step": step, "loss": float(loss),
+                   "psnr": eval_psnr(), "n_points": model.num_points}
+            history.append(row)
+            print(row, flush=True)
+
+    # Save raw + quantized, compare on-disk size.
+    outdir = "/tmp/convergence_proof"
+    os.makedirs(outdir, exist_ok=True)
+    raw_path = os.path.join(outdir, "point_cloud.ply")
+    q_path = os.path.join(outdir, "point_cloud_quantized.ply")
+    model.save_ply(raw_path)
+    ExcludeZeroSHQuantizer().save_quantized(model, q_path)
+    raw_sz, q_sz = os.path.getsize(raw_path), os.path.getsize(q_path)
+
+    final = history[-1]
+    result = {
+        "preset": args.preset,
+        "scene": {"n_gt": cfg["n_gt"], "n_init": cfg["n_init"],
+                  "resolution": list(cfg["hw"]), "n_cams": len(cams),
+                  "iters": it},
+        "psnr_init": round(psnr0, 2),
+        "psnr_final": round(final["psnr"], 2),
+        "n_points_init": cfg["n_init"],
+        "n_points_peak": int(n_peak),
+        "n_points_final": int(final["n_points"]),
+        "prune_ratio_vs_peak": round(1 - final["n_points"] / n_peak, 3),
+        "raw_ply_bytes": raw_sz,
+        "quantized_ply_bytes": q_sz,
+        "size_ratio": round(q_sz / raw_sz, 3),
+        "wall_minutes": round((time.time() - t_start) / 60, 1),
+        "device": jax.devices()[0].platform,
+        "history": history,
+        # Pinned bars (commit once, never lower): the run must clear these.
+        "bars": {"psnr_final_min": 24.0, "psnr_gain_min": 4.0,
+                 "prune_ratio_min": 0.3, "size_ratio_max": 0.3},
+    }
+    ok = (final["psnr"] >= 24.0 and final["psnr"] - psnr0 >= 4.0
+          and result["prune_ratio_vs_peak"] >= 0.3
+          and result["size_ratio"] <= 0.3)
+    result["bars_ok"] = bool(ok) if args.preset == "full" else None
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: v for k, v in result.items() if k != "history"}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
