@@ -232,6 +232,28 @@ class GaussianModel:
                             key_buffer_size=key_buffer_size or self._key_buffer_size,
                             use_pallas=(self.render_backend == "pallas"))
 
+    def render_band(self, params, settings, *, aux=None, alive=None,
+                    tile_row_offset, tile_rows: int,
+                    key_buffer_size: int,
+                    mean2d_offset_ndc=None, with_stats: bool = False,
+                    use_pallas: Optional[bool] = None):
+        """Render a horizontal band of tile rows (multi-chip pixel sharding).
+
+        Uniform dispatch point for the sharded trainer / sharded stats
+        sweeps (parallel/): subclasses with a different splatting forward
+        model (e.g. 2DGS surfels) override this to route to their renderer,
+        so every model family shards the same way."""
+        args = self.render_array_args(params, aux)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        return render_tiled(*args, settings, alive=alive,
+                            mean2d_offset_ndc=mean2d_offset_ndc,
+                            with_stats=with_stats,
+                            key_buffer_size=key_buffer_size,
+                            tile_row_offset=tile_row_offset,
+                            tile_rows=tile_rows,
+                            use_pallas=use_pallas)
+
     def _jit_render(self, with_stats: bool, key_buffer_size, has_alive: bool,
                     image_hw, sh_degree: int):
         """Cached jitted render entry. Every device array is an argument —

@@ -54,6 +54,20 @@ def morton_codes(points: jnp.ndarray, lo=None, hi=None,
             + _expand_bits(q[:, 2])).astype(jnp.uint32)
 
 
+# Fixed rotations decorrelating the Morton orderings. A diagonal jitter only
+# shifts the same space-filling curve; a rotation changes which pairs of
+# nearby points land in the same curve window, which is what recovers
+# recall on clustered clouds (measured: jitter-only orderings plateau at
+# ~0.6 recall@30 on a 1000x-density-contrast cloud; see tools/knn_recall.py).
+def _order_rotation(i: int) -> jnp.ndarray:
+    if i == 0:
+        return jnp.eye(3, dtype=jnp.float32)
+    import numpy as _np
+    rng = _np.random.default_rng(1234 + i)
+    q, _ = _np.linalg.qr(rng.normal(size=(3, 3)))
+    return jnp.asarray(q.astype(_np.float32))
+
+
 def _window_candidates(order: jnp.ndarray, window: int) -> jnp.ndarray:
     """[N, window] candidate point-indices around each point's sorted rank."""
     n = order.shape[0]
@@ -65,10 +79,67 @@ def _window_candidates(order: jnp.ndarray, window: int) -> jnp.ndarray:
     return order[cand_rank]                      # [N, window]
 
 
+def _best_k_rows(pts, mask, k, idx, cand_rows, dedup: bool):
+    """Top-k nearest among `cand_rows` for query rows `idx` (self excluded)."""
+    d = pts[idx][:, None, :] - pts[cand_rows]          # [R, C, 3]
+    dist = jnp.sum(d * d, axis=-1)
+    invalid = cand_rows == idx[:, None]
+    if mask is not None:
+        invalid = invalid | ~mask[cand_rows]
+    # Deduplicate repeated candidates (same index ==> same distance;
+    # keeping both would push a true neighbour out of the top-k). Sort each
+    # row's candidate ids, flag equal-adjacent entries, and unsort via the
+    # inverse permutation — O(C log C) per row instead of the O(C^2)
+    # pairwise compare (which at window=256 x 2 orders materialised
+    # [rows, 512, 512] bools and dominated the whole op).
+    if dedup:
+        order_c = jnp.argsort(cand_rows, axis=1)
+        sorted_c = jnp.take_along_axis(cand_rows, order_c, axis=1)
+        dup_sorted = jnp.concatenate(
+            [jnp.zeros_like(sorted_c[:, :1], bool),
+             sorted_c[:, 1:] == sorted_c[:, :-1]], axis=1)
+        inv = jnp.argsort(order_c, axis=1)
+        invalid = invalid | jnp.take_along_axis(dup_sorted, inv, axis=1)
+    dist = jnp.where(invalid, jnp.inf, dist)
+    neg, pos = jax.lax.top_k(-dist, k)
+    return -neg, jnp.take_along_axis(cand_rows, pos, axis=1)
+
+
+def _chunked_best_k(pts, mask, k, cand, row_chunk: int, dedup: bool):
+    n = pts.shape[0]
+    idx_all = jnp.arange(n, dtype=jnp.int32)
+    if n <= row_chunk:
+        return _best_k_rows(pts, mask, k, idx_all, cand, dedup)
+    pad = (-n) % row_chunk
+    idx_p = jnp.pad(idx_all, (0, pad))
+    cand_p = jnp.pad(cand, ((0, pad), (0, 0)))
+    nb = (n + pad) // row_chunk
+    d, i = jax.lax.map(
+        lambda a: _best_k_rows(pts, mask, k, a[0], a[1], dedup),
+        (idx_p.reshape(nb, row_chunk), cand_p.reshape(nb, row_chunk, -1)))
+    return d.reshape(-1, k)[:n], i.reshape(-1, k)[:n]
+
+
 def knn(points: jnp.ndarray, k: int, window: int = 256,
-        mask: Optional[jnp.ndarray] = None, n_orders: int = 2,
+        mask: Optional[jnp.ndarray] = None, n_orders: int = 3,
+        refine_rounds: int = 2,
         row_chunk: int = 65536) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """K nearest neighbours (squared distances, indices), self excluded.
+
+    Two phases, both static-shape and TPU-friendly:
+      1. Morton-window search: union of rank windows from `n_orders`
+         orderings of ROTATED copies of the cloud (rotations decorrelate
+         the space-filling curves far better than diagonal jitter).
+      2. NN-descent refinement: `refine_rounds` rounds of
+         neighbours-of-neighbours — candidates = current [N, k] neighbour
+         lists gathered through themselves ([N, k*k]) merged with the
+         incumbents. Pure gathers + top_k; converges recall@30 from ~0.6
+         to >0.97 in 2 rounds on 1000x-density-contrast clustered clouds
+         (tools/knn_recall.py / KNN_RECALL.json).
+
+    The reference's simple-knn is an exact outward box-walk
+    (simple_knn.cu:391-522); this is the static-shape equivalent with
+    measured, data-driven defaults.
 
     Args:
       points: [N, 3].
@@ -76,12 +147,14 @@ def knn(points: jnp.ndarray, k: int, window: int = 256,
       window: candidates per Morton ordering.
       mask: [N] bool; False points are neither queried usefully nor returned
         as neighbours of alive points.
-      n_orders: number of jittered Morton orderings to union.
+      n_orders: number of rotated Morton orderings to union.
+      refine_rounds: neighbour-of-neighbour merge rounds.
 
     Returns:
       (dists_sq [N, k], indices [N, k] int32). Rows of masked-out points
       contain inf / arbitrary indices.
     """
+    points = jnp.asarray(points)   # host numpy in => traced indexing works
     n = points.shape[0]
     if mask is not None:
         # Push dead points to the far corner so they sort away from live ones.
@@ -93,48 +166,22 @@ def knn(points: jnp.ndarray, k: int, window: int = 256,
 
     cands = []
     for i in range(n_orders):
-        codes = morton_codes(pts, jitter=0.0 if i == 0 else 0.37 * i / n_orders)
+        rot_pts = pts @ _order_rotation(i).T if i else pts
+        codes = morton_codes(rot_pts)
         order = jnp.argsort(codes).astype(jnp.int32)
         cands.append(_window_candidates(order, window))
     cand = jnp.concatenate(cands, axis=1)        # [N, n_orders*window]
 
-    def rows(args):
-        idx, cand_rows = args
-        d = pts[idx][:, None, :] - pts[cand_rows]          # [R, C, 3]
-        dist = jnp.sum(d * d, axis=-1)
-        invalid = cand_rows == idx[:, None]
-        if mask is not None:
-            invalid = invalid | ~mask[cand_rows]
-        # Deduplicate candidates appearing in several orderings (same index
-        # ==> same distance; keeping both would push a true neighbour out of
-        # the top-k). Sort each row's candidate ids, flag equal-adjacent
-        # entries, and unsort via the inverse permutation — O(C log C) per
-        # row instead of the O(C^2) pairwise compare (which at
-        # window=256 x 2 orders materialised [rows, 512, 512] bools and
-        # dominated the whole op).
-        dup = jnp.zeros_like(invalid)
-        if n_orders > 1:
-            order_c = jnp.argsort(cand_rows, axis=1)
-            sorted_c = jnp.take_along_axis(cand_rows, order_c, axis=1)
-            dup_sorted = jnp.concatenate(
-                [jnp.zeros_like(sorted_c[:, :1], bool),
-                 sorted_c[:, 1:] == sorted_c[:, :-1]], axis=1)
-            inv = jnp.argsort(order_c, axis=1)
-            dup = jnp.take_along_axis(dup_sorted, inv, axis=1)
-        dist = jnp.where(invalid | dup, jnp.inf, dist)
-        neg, pos = jax.lax.top_k(-dist, k)
-        return -neg, cand_rows[jnp.arange(cand_rows.shape[0])[:, None], pos]
+    d, i = _chunked_best_k(pts, mask, k, cand, row_chunk, dedup=n_orders > 1)
 
-    idx_all = jnp.arange(n, dtype=jnp.int32)
-    if n <= row_chunk:
-        return rows((idx_all, cand))
-    pad = (-n) % row_chunk
-    idx_p = jnp.pad(idx_all, (0, pad))
-    cand_p = jnp.pad(cand, ((0, pad), (0, 0)))
-    nb = (n + pad) // row_chunk
-    d, i = jax.lax.map(rows, (idx_p.reshape(nb, row_chunk),
-                              cand_p.reshape(nb, row_chunk, -1)))
-    return d.reshape(-1, k)[:n], i.reshape(-1, k)[:n]
+    # NN-descent refinement. k*k candidate blocks are ~4x smaller than the
+    # window phase's, so rounds are cheap relative to phase 1.
+    refine_chunk = max(1, (row_chunk * window * n_orders) // max(k * k, 1))
+    for _ in range(refine_rounds):
+        nn2 = jnp.take(i, i, axis=0).reshape(n, k * k)     # [N, k*k]
+        cand2 = jnp.concatenate([i, nn2], axis=1)          # [N, k + k*k]
+        d, i = _chunked_best_k(pts, mask, k, cand2, refine_chunk, dedup=True)
+    return d, i
 
 
 def knn_index_subset(points: jnp.ndarray, k: int, neighbor_mask: jnp.ndarray,

@@ -30,6 +30,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import config
 from ..dataset.camera import Camera
+from ..ops.rasterize.tiled import default_key_buffer_size
 from ..trainer import functional as F
 from ..trainer.base import Trainer
 from ..trainer.optimizer import adam_update
@@ -143,14 +144,9 @@ class ShardedTrainer(Trainer):
                     cam = (camera_apply(camera, cpp)
                            if camera_apply is not None else camera)
                     settings = model.render_settings(cam)
-                    from ..ops.rasterize.tiled import render_tiled
-                    band = render_tiled(
-                        pp["xyz"], pp["opacity"],
-                        model.scaling_activation(pp["scaling"]),
-                        pp["rotation"] / jnp.maximum(jnp.linalg.norm(
-                            pp["rotation"], axis=-1, keepdims=True), 1e-12),
-                        model.masked_features(pp, aux_),
-                        settings, alive=alive_, mean2d_offset_ndc=off,
+                    band = model.render_band(
+                        pp, settings, aux=aux_, alive=alive_,
+                        mean2d_offset_ndc=off,
                         key_buffer_size=key_buffer,
                         tile_row_offset=row0, tile_rows=band_tiles,
                         # Pallas kernels per band on real chips; the pure
@@ -315,16 +311,14 @@ def render_sharded(model, camera: Camera, mesh: Mesh, **kwargs):
                        out_specs=P("tile"), check_vma=False)
     def go(args, camera):
         p, aux_, alive_ = args
-        from ..ops.rasterize.tiled import render_tiled
         settings = model.render_settings(camera)
         row0 = jax.lax.axis_index("tile") * band_tiles
         kw = dict(kwargs)
         kw.setdefault("use_pallas", jax.default_backend() == "tpu")
-        band = render_tiled(
-            p["xyz"], p["opacity"], model.scaling_activation(p["scaling"]),
-            p["rotation"] / jnp.maximum(jnp.linalg.norm(
-                p["rotation"], axis=-1, keepdims=True), 1e-12),
-            model.masked_features(p, aux_), settings, alive=alive_,
+        kw.setdefault("key_buffer_size", default_key_buffer_size(
+            p["xyz"].shape[0], -(-W // config.BLOCK_X), band_tiles))
+        band = model.render_band(
+            p, settings, aux=aux_, alive=alive_,
             tile_row_offset=row0, tile_rows=band_tiles, **kw)
         return band["render"].transpose(1, 2, 0)[None]
 

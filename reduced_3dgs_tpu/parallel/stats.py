@@ -34,7 +34,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from .. import config
 from ..ops import sh as sh_ops
 from ..ops.rasterize import common
-from ..ops.rasterize.tiled import default_key_buffer_size, render_tiled
+from ..ops.rasterize.tiled import default_key_buffer_size
 from ..ops.shculling_stats import colours_by_degree
 from .sharding import band_layout, batch_cameras, cameras_first
 
@@ -74,13 +74,8 @@ def _build_sweep_fn(model, mesh: Mesh, H: int, W: int, key_buffer: int,
             w_cam = wgt[0]
             row0 = jax.lax.axis_index("tile") * band_tiles
             settings = model.render_settings(camera)
-            out = render_tiled(
-                p["xyz"], p["opacity"],
-                model.scaling_activation(p["scaling"]),
-                p["rotation"] / jnp.maximum(jnp.linalg.norm(
-                    p["rotation"], axis=-1, keepdims=True), 1e-12),
-                model.masked_features(p, aux_),
-                settings, alive=alive_, with_stats=True,
+            out = model.render_band(
+                p, settings, aux=aux_, alive=alive_, with_stats=True,
                 key_buffer_size=key_buffer,
                 tile_row_offset=row0, tile_rows=band_tiles,
                 use_pallas=jax.default_backend() == "tpu")

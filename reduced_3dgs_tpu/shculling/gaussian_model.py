@@ -111,6 +111,19 @@ class VariableSHGsplat2DGSGaussianModel(VariableSHGaussianModel):
             mean2d_offset_ndc=mean2d_offset_ndc, with_stats=with_stats,
             key_buffer_size=key_buffer_size or self._key_buffer_size)
 
+    def render_band(self, params, settings, *, aux=None, alive=None,
+                    tile_row_offset, tile_rows: int, key_buffer_size: int,
+                    mean2d_offset_ndc=None, with_stats: bool = False,
+                    use_pallas=None):
+        del use_pallas  # 2DGS band path is the XLA segmented-scan renderer
+        from ..ops.rasterize.twodgs import render_tiled_2dgs
+        args = self.render_array_args(params, aux)
+        return render_tiled_2dgs(
+            *args, settings, alive=alive,
+            mean2d_offset_ndc=mean2d_offset_ndc, with_stats=with_stats,
+            key_buffer_size=key_buffer_size,
+            tile_row_offset=tile_row_offset, tile_rows=tile_rows)
+
 
 class CameraTrainableVariableSHGsplat2DGSGaussianModel(
         VariableSHGsplat2DGSGaussianModel, CameraTrainableGaussianModel):

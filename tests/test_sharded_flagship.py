@@ -118,3 +118,20 @@ def test_sharded_short_camera_batch_wraps():
     trainer = ShardedTrainer(model, ds, mesh=mesh)
     loss, out = trainer.step([ds[0], ds[1]])   # 2 cameras, 4 data ranks
     assert np.isfinite(float(loss))
+
+
+def test_sharded_2dgs_backend():
+    """The surfel (2DGS) model shards through the same render_band hook."""
+    mesh = make_mesh(n_data=2, n_tile=4)
+    from reduced_3dgs_tpu.shculling import VariableSHGsplat2DGSGaussianModel
+    gt_model, ds = _toy_scene(n=24, hw=32, n_cams=2)
+    model = VariableSHGsplat2DGSGaussianModel(gt_model.max_sh_degree)
+    model.set_parameters({k: jnp.asarray(v)
+                          for k, v in gt_model.parameters().items()})
+    model.init_degrees()
+    model.active_sh_degree = gt_model.max_sh_degree
+    trainer = ShardedTrainer(model, ds, mesh=mesh)
+    for it in range(3):
+        loss, out = trainer.step([ds[0], ds[1]])
+        assert np.isfinite(float(loss))
+    assert out["render"].shape == (3, 32, 32)

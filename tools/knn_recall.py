@@ -82,9 +82,18 @@ def main():
     ap.add_argument("--n", type=int, default=262144)
     ap.add_argument("--k", type=int, default=30)
     ap.add_argument("--queries", type=int, default=2048)
+    ap.add_argument("--device", default=None, choices=(None, "cpu", "tpu"))
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "..", "KNN_RECALL.json"))
     args = ap.parse_args()
+
+    import jax
+    if args.device == "cpu":
+        # NOTE: JAX_PLATFORMS=cpu env is ignored in this image (the axon
+        # sitecustomize pins platforms); the config update is authoritative.
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from reduced_3dgs_tpu.ops.knn import knn
 
@@ -93,31 +102,34 @@ def main():
     qidx = np.sort(rng.choice(args.n, args.queries, replace=False)).astype(
         np.int32)
 
+    print(f"oracle: {len(qidx)} queries vs {args.n} points...", flush=True)
     t0 = time.time()
     _, oracle_i = exact_oracle(pts, qidx, args.k)
     t_oracle = time.time() - t0
+    print(f"oracle done in {t_oracle:.1f}s", flush=True)
     oracle_sets = [set(row.tolist()) for row in oracle_i]
 
     results = []
     chosen = None
-    for n_orders in (2, 3, 4):
-        for window in (128, 256, 384, 512):
-            t0 = time.time()
-            _, idx = knn(pts, args.k, window=window, n_orders=n_orders)
-            idx = np.asarray(idx)
-            dt = time.time() - t0
-            hits = sum(
-                len(oracle_sets[j] & set(idx[qidx[j]].tolist()))
-                for j in range(len(qidx)))
-            recall = hits / (len(qidx) * args.k)
-            row = {"window": window, "n_orders": n_orders,
-                   "recall_at_k": round(recall, 4), "seconds": round(dt, 2)}
-            results.append(row)
-            print(row, flush=True)
-            if recall >= 0.95 and chosen is None:
-                chosen = row
-        if chosen is not None:
-            break
+    for window, n_orders, refine in ((256, 2, 0), (256, 3, 0), (128, 2, 1),
+                                     (128, 2, 2), (256, 2, 1), (256, 2, 2),
+                                     (256, 3, 1), (256, 3, 2), (384, 3, 2)):
+        t0 = time.time()
+        _, idx = knn(pts, args.k, window=window, n_orders=n_orders,
+                     refine_rounds=refine)
+        idx = np.asarray(idx)
+        dt = time.time() - t0
+        hits = sum(
+            len(oracle_sets[j] & set(idx[qidx[j]].tolist()))
+            for j in range(len(qidx)))
+        recall = hits / (len(qidx) * args.k)
+        row = {"window": window, "n_orders": n_orders,
+               "refine_rounds": refine,
+               "recall_at_k": round(recall, 4), "seconds": round(dt, 2)}
+        results.append(row)
+        print(row, flush=True)
+        if recall >= 0.95 and chosen is None:
+            chosen = row
 
     out = {
         "n_points": args.n, "k": args.k, "n_queries": len(qidx),
