@@ -36,6 +36,8 @@ STEPS = int(os.environ.get("BENCH_STEPS", 20))
 def main():
     import jax
     import jax.numpy as jnp
+    from reduced_3dgs_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
     from reduced_3dgs_tpu.dataset import CameraDataset, build_camera
     from reduced_3dgs_tpu.shculling import VariableSHGaussianModel
     from reduced_3dgs_tpu.trainer import Trainer

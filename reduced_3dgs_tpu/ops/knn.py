@@ -122,7 +122,7 @@ def _chunked_best_k(pts, mask, k, cand, row_chunk: int, dedup: bool):
 
 def knn(points: jnp.ndarray, k: int, window: int = 256,
         mask: Optional[jnp.ndarray] = None, n_orders: int = 3,
-        refine_rounds: int = 2,
+        refine_rounds: int = 4,
         row_chunk: int = 65536) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """K nearest neighbours (squared distances, indices), self excluded.
 
@@ -133,9 +133,11 @@ def knn(points: jnp.ndarray, k: int, window: int = 256,
       2. NN-descent refinement: `refine_rounds` rounds of
          neighbours-of-neighbours — candidates = current [N, k] neighbour
          lists gathered through themselves ([N, k*k]) merged with the
-         incumbents. Pure gathers + top_k; converges recall@30 from ~0.6
-         to >0.97 in 2 rounds on 1000x-density-contrast clustered clouds
-         (tools/knn_recall.py / KNN_RECALL.json).
+         incumbents. Pure gathers + top_k; each round multiplies the miss
+         rate by ~0.55. Measured recall@30 on a 262k-point, 1000x-density-
+         contrast clustered cloud vs an exact oracle (KNN_RECALL.json):
+         window search alone 0.59; +2 rounds 0.87; +4 rounds 0.968 — the
+         defaults below are those measured >=0.95 settings.
 
     The reference's simple-knn is an exact outward box-walk
     (simple_knn.cu:391-522); this is the static-shape equivalent with

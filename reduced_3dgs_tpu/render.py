@@ -62,6 +62,8 @@ def main(argv=None):
     parser.add_argument("--device", default="tpu", type=str)
     parser.add_argument("--no_save_images", action="store_true")
     args = parser.parse_args(argv)
+    from .utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     it_dir = os.path.join(args.destination, "point_cloud",
                           f"iteration_{args.iteration}")

@@ -170,6 +170,8 @@ def main(argv=None):
     parser.add_argument("-o", "--option", default=[], action="append",
                         type=str)
     args = parser.parse_args(argv)
+    from .utils.cache import enable_compile_cache
+    enable_compile_cache()
     save_cfg_args(args.destination, args.sh_degree, args.source)
 
     # -o key=value free-form overrides. Values are parsed as python literals

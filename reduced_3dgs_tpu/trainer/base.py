@@ -285,6 +285,11 @@ class BaseTrainer(AbstractTrainer):
             rendered = np.asarray(jnp.stack([r for _, r, _ in backlog]))
             if flags.any():
                 self.grow_key_buffer(backlog[int(flags.argmax())][2])
+                # No shrinking for a few drain windows after a grow:
+                # during densification the entry count trends up, and
+                # grow->shrink->grow ping-pong makes every window a fresh
+                # compiled shape.
+                self._shrink_cooldown = 3
                 # Persistent overflow (the buffer keeps overflowing drain
                 # after drain despite regrowing) indicates a pathological
                 # scene/config; snapshot once for offline repro
@@ -299,8 +304,11 @@ class BaseTrainer(AbstractTrainer):
                                "key_buffer": self._key_buffer_size})
             elif rendered.max() > 0:
                 self._overflow_streak = 0
+                cooldown = getattr(self, "_shrink_cooldown", 0)
                 import os as _os
-                if _os.environ.get("R3DGS_NO_KEY_SHRINK") != "1":
+                if cooldown > 0:
+                    self._shrink_cooldown = cooldown - 1
+                elif _os.environ.get("R3DGS_NO_KEY_SHRINK") != "1":
                     self.shrink_key_buffer(camera, int(rendered.max()))
             backlog.clear()
 

@@ -122,6 +122,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    else:
+        from reduced_3dgs_tpu.utils.cache import enable_compile_cache
+        enable_compile_cache()
     import jax.numpy as jnp
 
     from reduced_3dgs_tpu.dataset import CameraDataset
