@@ -177,6 +177,11 @@ def main():
         densify_from_iter=sc(500), densify_until_iter=sc(15000),
         densify_interval=max(10, sc(100)),
         opacity_reset_interval=sc(3000),
+        # Scale the reset window too: the default until_iter=15000 would keep
+        # resets firing through the whole scaled run (including at the final
+        # step when iters is a multiple of the scaled interval), wrecking the
+        # final eval. Reference stops resets at densify_until (=15000).
+        opacity_reset_until_iter=sc(15000),
         prune_from_iter=sc(1000), prune_until_iter=sc(15000),
         prune_interval=max(10, sc(100)),
         importance_prune_from_iter=sc(15000),
