@@ -105,8 +105,12 @@ def main():
     trainer.model.active_sh_degree = 3  # bench the full-SH path
 
     # warmup / compile: run enough steps for the adaptive key-buffer resize
-    # (drained every 64 steps) to settle and recompile before timing.
-    for _ in range(66):
+    # (drained every 64 steps) to settle and recompile before timing. Two
+    # full drain windows: the first drain sizes the buffer to the warmup
+    # TRANSIENT peak (early steps emit ~40% more entries before Adam settles
+    # the scene); the second shrinks it to the steady state that a real
+    # training run would track.
+    for _ in range(130):
         loss, out = trainer.step(cam)
     jax.block_until_ready(out["render"])
     num_rendered = int(out.get("num_rendered", 0))

@@ -45,4 +45,7 @@ SORT_MODE = _os.environ.get("R3DGS_SORT", "2key")
 # "gather": per-entry fields via one fused [rows, K] row gather.
 # "scan": one row scatter of per-Gaussian records at segment starts + a
 # carry-forward associative scan (no big gather).
+# "carry": one max-scan carries (gidx, emission offset) together — both are
+# monotone at run starts — so validity needs no per-entry counts gather and
+# the remaining lookups shrink to a [2, K] gather (packed tile-rect + depth).
 EMISSION_MODE = _os.environ.get("R3DGS_EMISSION", "gather")

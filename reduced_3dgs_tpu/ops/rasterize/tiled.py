@@ -142,7 +142,37 @@ def bin_and_sort(rect_min, rect_max, tiles_touched, depths, *,
 
     pos = jnp.arange(K, dtype=jnp.int32)
     assert K < (1 << 24)
-    if config.EMISSION_MODE == "scan":
+    if config.EMISSION_MODE == "carry":
+        # Leanest emission: ONE carry-forward max-scan yields both the
+        # entry's Gaussian id and that Gaussian's emission offset (both are
+        # non-decreasing at run starts, and runs are contiguous because
+        # offsets is the exclusive cumsum of counts). Validity needs no
+        # per-entry counts: every pos < total lies in exactly one run, so
+        # entry_valid is just pos < total. The remaining per-Gaussian
+        # lookups shrink to a [2, K] gather: the three tile-rect fields
+        # (each < 256 for images up to 4096 px) ride one exact f32 carrier.
+        assert tiles_x < 256 and tiles_y < 256, (tiles_x, tiles_y)
+        ids = jnp.arange(N, dtype=jnp.int32)
+        seed_idx = jnp.where(counts > 0, offsets, K)
+        gseed = jnp.zeros((K,), jnp.int32).at[seed_idx].max(ids, mode="drop")
+        oseed = jnp.zeros((K,), jnp.int32).at[seed_idx].max(offsets,
+                                                            mode="drop")
+        gidx, off_e = jax.lax.associative_scan(
+            lambda a, b: (jnp.maximum(a[0], b[0]), jnp.maximum(a[1], b[1])),
+            (gseed, oseed))
+        packed = (jnp.clip(rect_min[:, 0], 0, 255)
+                  + 256 * jnp.clip(rect_w, 1, 255)
+                  + 65536 * jnp.clip(band_rmin_y, 0, 255))
+        per_g = jnp.stack([packed.astype(jnp.float32), depths], axis=0)
+        cols = jnp.take(per_g, gidx, axis=1)                    # [2, K]
+        pr = cols[0].astype(jnp.int32)
+        rminx_e = pr % 256
+        rw_e = (pr // 256) % 256
+        rby_e = pr // 65536
+        depth_e = cols[1]
+        ordinal = pos - off_e
+        entry_valid = pos < total
+    elif config.EMISSION_MODE == "scan":
         # One row scatter of each Gaussian's record at its segment start +
         # a carry-forward (last-write-wins) associative scan. Avoids the
         # separate fill_ids scatter AND the [6, K] row gather: scatter cost
@@ -182,8 +212,9 @@ def bin_and_sort(rect_min, rect_max, tiles_touched, depths, *,
         rw_e = cols[3].astype(jnp.int32)
         rby_e = cols[4].astype(jnp.int32)
         depth_e = cols[5]
-    ordinal = pos - off_e
-    entry_valid = (ordinal >= 0) & (ordinal < cnt_e) & (pos < total)
+    if config.EMISSION_MODE != "carry":
+        ordinal = pos - off_e
+        entry_valid = (ordinal >= 0) & (ordinal < cnt_e) & (pos < total)
 
     tx = rminx_e + ordinal % rw_e
     ty = rby_e + ordinal // rw_e

@@ -38,9 +38,43 @@ def _blur_axis(x: jnp.ndarray, taps, axis: int) -> jnp.ndarray:
     return acc
 
 
+def _band_matrix(n: int, taps) -> jnp.ndarray:
+    """[n, n] banded blur matrix B[i, j] = taps[j - i + w//2] (zero outside
+    the band) — row i of x @ B is the zero-padded 'same' convolution at i.
+
+    Built from iota at trace time (NOT from an eagerly created device
+    array: executables that capture concrete device arrays as closure
+    constants degrade this runtime's dispatch path, see
+    ops/projection.py)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    d = j - i + len(taps) // 2
+    acc = jnp.zeros((n, n), jnp.float32)
+    for t, w in enumerate(taps):
+        acc = acc + jnp.where(d == t, jnp.float32(w), 0.0)
+    return acc
+
+
+def _blur_matmul(x: jnp.ndarray, taps) -> jnp.ndarray:
+    """Separable blur over the last two axes as two banded matmuls.
+
+    The shift-add form is ~22 strided VPU passes over the stack; as
+    matmuls the blur rides the MXU instead (the taps matrix is banded but
+    the MXU doesn't care). Precision HIGHEST keeps the moment maps in true
+    f32 — the default bf16 matmul loses the E[x^2] - E[x]^2 cancellation."""
+    H, W = x.shape[-2], x.shape[-1]
+    hp = jnp.einsum("...hw,hu->...uw", x, _band_matrix(H, taps),
+                    precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("...uw,wv->...uv", hp, _band_matrix(W, taps),
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def _blur(x: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
     """Separable Gaussian blur over the last two axes, 'same' padding."""
     taps = _gaussian_window_np(window_size, sigma)
+    import os
+    if os.environ.get("R3DGS_SSIM", "matmul") == "matmul":
+        return _blur_matmul(x, taps)
     return _blur_axis(_blur_axis(x, taps, x.ndim - 2), taps, x.ndim - 1)
 
 

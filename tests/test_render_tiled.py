@@ -98,6 +98,26 @@ def test_pixel_chunk_invariance():
                                atol=1e-6)
 
 
+@pytest.mark.parametrize("emission", ["gather", "scan", "carry"])
+@pytest.mark.parametrize("sort", ["2key", "packed"])
+def test_emission_sort_modes_match_reference(emission, sort, monkeypatch):
+    """Every binning/sort strategy must produce the same image (packed sort
+    only quantizes the depth ORDER between near-equal depths, invisible at
+    these scales)."""
+    from reduced_3dgs_tpu import config as cfg
+    monkeypatch.setattr(cfg, "EMISSION_MODE", emission)
+    monkeypatch.setattr(cfg, "SORT_MODE", sort)
+    s = make_settings(48, 80, bg=(0.15, 0.25, 0.35))
+    args = _args(90, key=8)
+    ref = render_reference(*args, s)
+    til = render_tiled(*args, s)
+    assert not bool(til["overflow"])
+    np.testing.assert_allclose(np.asarray(til["render"]),
+                               np.asarray(ref["render"]), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(til["final_T"]),
+                               np.asarray(ref["final_T"]), atol=5e-5)
+
+
 def test_jit_and_vmap_compatible():
     s = make_settings(32, 32)
     args = _args(30, key=6)

@@ -90,8 +90,9 @@ def main():
     ds = CameraDataset([cam])
     trainer = Trainer(model, ds)
     trainer.model.active_sh_degree = 3
-    # settle key-buffer size like bench.py
-    for _ in range(66):
+    # settle key-buffer size like bench.py (two drain windows: the first
+    # sizes to the warmup transient peak, the second shrinks to steady state)
+    for _ in range(130):
         loss, out = trainer.step(cam)
     jax.block_until_ready(out["render"])
     num_rendered = int(out["num_rendered"])
@@ -296,12 +297,41 @@ def main():
         return (carry + loss * 0 + tree_sum(new_params) * 0
                 + tree_sum(new_adam.m) * 0 + tree_sum(acc) * 0), None
 
+    def stage_binsort_real(carry, params, aux, camera, n_alive, adam):
+        """The REAL bin_and_sort (incl. seg scans + stop_gradient), not the
+        profiler's emission replica — attributes drift between the staged
+        pipeline and render_tiled's actual code."""
+        carry, pre = stage_pre(carry, params, aux, camera, n_alive, adam)
+        ent = tiled.bin_and_sort(pre.rect_min, pre.rect_max,
+                                 pre.tiles_touched, pre.depths,
+                                 tiles_x=tiles_x, tiles_y=tiles_y,
+                                 tile_row_offset=jnp.int32(0), K=K)
+        return carry + tree_sum((ent["s_gidx"], ent["s_tile"],
+                                 ent["seg_start_pos"])) * 0, (pre, ent)
+
+    def stage_kernel_real(carry, params, aux, camera, n_alive, adam):
+        """Real path through composite_sorted (custom_vjp fwd), everything
+        in render_tiled's pallas branch except _assemble_outputs."""
+        carry, (pre, ent) = stage_binsort_real(carry, params, aux, camera,
+                                               n_alive, adam)
+        range_start, range_end = tiled.tile_ranges_from_rects(
+            pre.rect_min, pre.rect_max, pre.tiles_touched, tiles_x, tiles_y,
+            jnp.int32(0), K)
+        inv_pos = pk.inverse_permutation(ent["s_pos"])
+        color4, final_t = pk.composite_sorted(
+            pk.pack_fields(pre), ent["s_gidx"], inv_pos, ent["offsets"],
+            ent["counts"], ent["s_tile"], range_start, range_end,
+            jnp.int32(0), tiles_x, num_tiles, False)
+        return carry + tree_sum((color4, final_t)) * 0, None
+
     stages = [
         ("preprocess", stage_pre),
         ("emission(bin)", stage_emit),
         ("+sort", stage_sort),
         ("+ranges/scans", stage_ranges),
         ("+fwd_gather+kernel", stage_fwdkernel),
+        ("binsort_real", stage_binsort_real),
+        ("kernel_real(no assemble)", stage_kernel_real),
         ("full_forward(render)", stage_forward),
         ("+loss(ssim)", stage_loss),
         ("+backward(grads)", stage_grad),
