@@ -62,7 +62,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ... import config
 
-CHUNK = 256
+# Entries per grid-step block (lane axis). 256 measured best... pending a
+# 512 A/B on hardware: fewer, fatter steps pipeline better but waste more
+# lanes at tile boundaries. Env knob for on-chip A/B without edits.
+import os as _os
+CHUNK = int(_os.environ.get("R3DGS_CHUNK", "256"))
 N_FIELDS = 10
 BLOCK = config.BLOCK_SIZE           # 256 pixels per tile
 BIG = 2 ** 30  # python int: jnp constants at module scope would be traced captures
@@ -78,7 +82,7 @@ def _cumsum_lanes(x, exclusive: bool = False):
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     acc = x
     s = 1
-    while s < CHUNK:
+    while s < x.shape[1]:
         acc = acc + jnp.where(lane >= s, pltpu.roll(acc, s, 1), 0.0)
         s *= 2
     return acc - x if exclusive else acc
@@ -97,7 +101,7 @@ def _cumprod_lanes(x):
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     acc = x
     s = 1
-    while s < CHUNK:
+    while s < x.shape[1]:
         acc = acc * jnp.where(lane >= s, pltpu.roll(acc, s, 1), 1.0)
         s *= 2
     return acc

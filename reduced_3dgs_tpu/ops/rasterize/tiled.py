@@ -307,7 +307,8 @@ def render_tiled(
     num_tiles = tiles_x * tiles_y
     K = key_buffer_size or default_key_buffer_size(N, tiles_x, tiles_y)
     if use_pallas:
-        K = -(-K // 256) * 256   # Pallas step grid requires CHUNK-aligned K
+        from .pallas_kernel import CHUNK as _PK_CHUNK
+        K = -(-K // _PK_CHUNK) * _PK_CHUNK  # Pallas grid needs aligned K
 
     pre = common.preprocess(means3d, opacities_raw, scales, rotations, shs,
                             settings, alive=alive,

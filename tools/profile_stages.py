@@ -97,7 +97,7 @@ def main():
     jax.block_until_ready(out["render"])
     num_rendered = int(out["num_rendered"])
     K = trainer.key_buffer_for(cam)
-    K = -(-K // 256) * 256
+    K = -(-K // pk.CHUNK) * pk.CHUNK
     capacity = trainer.capacity
 
     settings = model.render_settings(cam)
