@@ -175,13 +175,16 @@ def invert_cov2d(cov2d: jnp.ndarray):
     return conic, det
 
 
-def cov2d_extent(cov2d: jnp.ndarray, det: jnp.ndarray) -> jnp.ndarray:
-    """Screen-space radius: ceil(3 * sqrt(max eigenvalue)) (forward.cu:429-432)."""
+def cov2d_lambda_max(cov2d: jnp.ndarray, det: jnp.ndarray) -> jnp.ndarray:
+    """Max eigenvalue of the 2x2 screen-space covariance (forward.cu:429-431)."""
     mid = 0.5 * (cov2d[..., 0] + cov2d[..., 2])
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
-    lambda1 = mid + disc
-    lambda2 = mid - disc
-    return jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, lambda2)))
+    return mid + disc
+
+
+def cov2d_extent(cov2d: jnp.ndarray, det: jnp.ndarray) -> jnp.ndarray:
+    """Screen-space radius: ceil(3 * sqrt(max eigenvalue)) (forward.cu:429-432)."""
+    return jnp.ceil(3.0 * jnp.sqrt(cov2d_lambda_max(cov2d, det)))
 
 
 def tile_rect(point_image: jnp.ndarray, radius: jnp.ndarray, tiles_x: int, tiles_y: int):

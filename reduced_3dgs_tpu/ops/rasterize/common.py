@@ -126,21 +126,39 @@ def preprocess(
     conic, det = proj.invert_cov2d(cov2d)
     visible = visible & (det != 0.0)
 
-    radius = proj.cov2d_extent(cov2d, det)
+    lam_max = proj.cov2d_lambda_max(cov2d, det)
+    radius = jnp.ceil(3.0 * jnp.sqrt(lam_max))
     point_image = jnp.stack(
         [proj.ndc2pix(p_proj_xy[..., 0], W), proj.ndc2pix(p_proj_xy[..., 1], H)], axis=-1)
-    rect_min, rect_max = proj.tile_rect(point_image, radius, tiles_x, tiles_y)
+
+    opacity = jax.nn.sigmoid(opac)
+
+    # Visibility / radii keep the reference's 3-sigma semantics
+    # (forward.cu:429-432): they feed densification stats and screen-size
+    # pruning. BINNING uses the tighter alpha-cutoff contour: the composite
+    # gate zeroes every blend with op*exp(power) < 1/255 (ALPHA_EPS,
+    # forward.cu:546-548 analog), so tiles entirely outside the contour
+    # op*G >= 1/255 — radius sqrt(2*ln(255*op)*lambda_max) — contribute
+    # exactly nothing; dropping their entries changes no output or
+    # gradient, only the emitted pair count (a large cut at the low
+    # opacities that dominate after opacity resets).
+    rect3_min, rect3_max = proj.tile_rect(point_image, radius, tiles_x, tiles_y)
+    rect3_wh = jnp.maximum(rect3_max - rect3_min, 0)
+    visible = visible & ((rect3_wh[..., 0] * rect3_wh[..., 1]) > 0)
+
+    t2 = 2.0 * jnp.log(255.0 * jnp.maximum(opacity, 1e-6))
+    bin_radius = jnp.minimum(
+        radius, jnp.ceil(jnp.sqrt(jnp.maximum(t2, 0.0) * lam_max)))
+    rect_min, rect_max = proj.tile_rect(point_image, bin_radius,
+                                        tiles_x, tiles_y)
     rect_wh = jnp.maximum(rect_max - rect_min, 0)
     tiles = (rect_wh[..., 0] * rect_wh[..., 1]).astype(jnp.int32)
-    visible = visible & (tiles > 0)
 
     if colors_precomp is None:
         dirs = sh_ops.normalize_dirs(means3d - settings.campos)
         rgb = sh_ops.eval_sh(shs, dirs, settings.sh_degree, clamp=True)
     else:
         rgb = colors_precomp
-
-    opacity = jax.nn.sigmoid(opac)
 
     radii = jnp.where(visible, radius, 0.0).astype(jnp.int32)
     tiles_touched = jnp.where(visible, tiles, 0)

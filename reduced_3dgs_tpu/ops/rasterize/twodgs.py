@@ -115,34 +115,54 @@ def preprocess_2dgs(means3d, opacities_raw, scales, rotations, shs,
     safe_cw = jnp.where(jnp.abs(cw) < 1e-6, 1e-6, cw)
     center2d = jnp.stack([m_px[:, 2], m_py[:, 2]], -1) / safe_cw[:, None]
 
-    # Binning rect: project the 4 corners p +- CUTOFF*(t_u|t_v); AABB over
-    # corners with positive w, padded by the low-pass 3-sigma radius.
-    corners = (means3d[:, None, :]
-               + CUTOFF * jnp.stack([tu + tv, tu - tv, -tu + tv, -tu - tv], 1))
-    ch = proj.transform_points(corners, P)                 # [N,4,4]
-    cw4 = jnp.maximum(ch[..., 3], 1e-4)
-    cx = proj.ndc2pix(ch[..., 0] / cw4, W)
-    cy = proj.ndc2pix(ch[..., 1] / cw4, H)
-    lp_rad = jnp.ceil(CUTOFF * jnp.sqrt(FILTER_VAR_2D))
-    lo_x = jnp.minimum(jnp.min(cx, 1), center2d[:, 0] - lp_rad)
-    hi_x = jnp.maximum(jnp.max(cx, 1), center2d[:, 0] + lp_rad)
-    lo_y = jnp.minimum(jnp.min(cy, 1), center2d[:, 1] - lp_rad)
-    hi_y = jnp.maximum(jnp.max(cy, 1), center2d[:, 1] + lp_rad)
-    radius = jnp.ceil(0.5 * jnp.maximum(hi_x - lo_x, hi_y - lo_y))
+    opacity = jax.nn.sigmoid(opacities_raw.reshape(-1))
 
+    def corner_aabb(cut):
+        """Pixel AABB of the corners p +- cut*(t_u|t_v), padded by the
+        low-pass radius at the same cutoff. cut: [N] splat-local units."""
+        c = cut[:, None, None]
+        corners = (means3d[:, None, :]
+                   + c * jnp.stack([tu + tv, tu - tv, -tu + tv, -tu - tv], 1))
+        ch = proj.transform_points(corners, P)             # [N,4,4]
+        cw4 = jnp.maximum(ch[..., 3], 1e-4)
+        cx = proj.ndc2pix(ch[..., 0] / cw4, W)
+        cy = proj.ndc2pix(ch[..., 1] / cw4, H)
+        lp_rad = jnp.ceil(cut * jnp.sqrt(FILTER_VAR_2D))
+        lo_x = jnp.minimum(jnp.min(cx, 1), center2d[:, 0] - lp_rad)
+        hi_x = jnp.maximum(jnp.max(cx, 1), center2d[:, 0] + lp_rad)
+        lo_y = jnp.minimum(jnp.min(cy, 1), center2d[:, 1] - lp_rad)
+        hi_y = jnp.maximum(jnp.max(cy, 1), center2d[:, 1] + lp_rad)
+        return lo_x, hi_x, lo_y, hi_y
+
+    # radii / visibility keep the fixed 3-unit cutoff (densify stats
+    # contract, mirrors the 3DGS preprocess); BINNING uses the tighter
+    # alpha-cutoff extent sqrt(2*ln(255*op)) — the compositing gate
+    # (alpha >= 1/255, this file's render kernel) zeroes everything
+    # outside it, so the cut is exact (see common.preprocess).
+    full = jnp.full_like(opacity, CUTOFF)
+    lo_x, hi_x, lo_y, hi_y = corner_aabb(full)
+    radius = jnp.ceil(0.5 * jnp.maximum(hi_x - lo_x, hi_y - lo_y))
     grid = jnp.array([tiles_x, tiles_y], jnp.int32)
     block = jnp.array([config.BLOCK_X, config.BLOCK_Y], jnp.float32)
+    rmin3 = jnp.clip((jnp.stack([lo_x, lo_y], -1) / block).astype(jnp.int32),
+                     0, grid)
+    rmax3 = jnp.clip(((jnp.stack([hi_x, hi_y], -1) + block - 1) / block)
+                     .astype(jnp.int32), 0, grid)
+    rect3_wh = jnp.maximum(rmax3 - rmin3, 0)
+    visible = visible & ((rect3_wh[..., 0] * rect3_wh[..., 1]) > 0)
+
+    t2 = 2.0 * jnp.log(255.0 * jnp.maximum(opacity, 1e-6))
+    cut_a = jnp.minimum(full, jnp.sqrt(jnp.maximum(t2, 0.0)))
+    lo_x, hi_x, lo_y, hi_y = corner_aabb(cut_a)
     rmin = jnp.clip((jnp.stack([lo_x, lo_y], -1) / block).astype(jnp.int32),
                     0, grid)
     rmax = jnp.clip(((jnp.stack([hi_x, hi_y], -1) + block - 1) / block)
                     .astype(jnp.int32), 0, grid)
     rect_wh = jnp.maximum(rmax - rmin, 0)
     tiles = (rect_wh[..., 0] * rect_wh[..., 1]).astype(jnp.int32)
-    visible = visible & (tiles > 0)
 
     dirs = sh_ops.normalize_dirs(means3d - settings.campos)
     rgb = sh_ops.eval_sh(shs, dirs, settings.sh_degree, clamp=True)
-    opacity = jax.nn.sigmoid(opacities_raw.reshape(-1))
 
     # Camera-space normal (sign-flipped toward the camera like the paper).
     nw = jnp.cross(R[..., :, 0], R[..., :, 1])
