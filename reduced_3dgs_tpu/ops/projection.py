@@ -200,7 +200,14 @@ def tile_rect(point_image: jnp.ndarray, radius: jnp.ndarray, tiles_x: int, tiles
     grid = jnp.array([tiles_x, tiles_y], dtype=jnp.int32)
     block = jnp.array([BLOCK_X, BLOCK_Y], dtype=point_image.dtype)
     rmin = ((point_image - radius[..., None]) / block).astype(jnp.int32)
-    rmax = ((point_image + radius[..., None] + block - 1) / block).astype(jnp.int32)
+    # floor(hi/B) + 1, NOT the reference's (hi + B - 1) / B (auxiliary.h:52):
+    # the +B-1 trick equals ceil only for integer hi; with float centers it
+    # under-covers by up to one pixel, silently dropping boundary
+    # contributions of up to ALPHA_EPS per splat. Harmless under 3-sigma
+    # slack, wrong under alpha-tight binning where the rect boundary sits
+    # exactly on the 1/255 contour.
+    rmax = jnp.floor(
+        (point_image + radius[..., None]) / block).astype(jnp.int32) + 1
     rect_min = jnp.clip(rmin, 0, grid)
     rect_max = jnp.clip(rmax, 0, grid)
     return rect_min, rect_max

@@ -147,8 +147,10 @@ def preprocess(
     visible = visible & ((rect3_wh[..., 0] * rect3_wh[..., 1]) > 0)
 
     t2 = 2.0 * jnp.log(255.0 * jnp.maximum(opacity, 1e-6))
+    # Unceiled float radius: tile_rect's floor+1 cover is exact for float
+    # radii, so ceil here would only add rect slack.
     bin_radius = jnp.minimum(
-        radius, jnp.ceil(jnp.sqrt(jnp.maximum(t2, 0.0) * lam_max)))
+        radius, jnp.sqrt(jnp.maximum(t2, 0.0) * lam_max))
     rect_min, rect_max = proj.tile_rect(point_image, bin_radius,
                                         tiles_x, tiles_y)
     rect_wh = jnp.maximum(rect_max - rect_min, 0)

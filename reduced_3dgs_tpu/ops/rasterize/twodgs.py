@@ -146,8 +146,8 @@ def preprocess_2dgs(means3d, opacities_raw, scales, rotations, shs,
     block = jnp.array([config.BLOCK_X, config.BLOCK_Y], jnp.float32)
     rmin3 = jnp.clip((jnp.stack([lo_x, lo_y], -1) / block).astype(jnp.int32),
                      0, grid)
-    rmax3 = jnp.clip(((jnp.stack([hi_x, hi_y], -1) + block - 1) / block)
-                     .astype(jnp.int32), 0, grid)
+    rmax3 = jnp.clip(jnp.floor(jnp.stack([hi_x, hi_y], -1) / block)
+                     .astype(jnp.int32) + 1, 0, grid)
     rect3_wh = jnp.maximum(rmax3 - rmin3, 0)
     visible = visible & ((rect3_wh[..., 0] * rect3_wh[..., 1]) > 0)
 
@@ -156,8 +156,10 @@ def preprocess_2dgs(means3d, opacities_raw, scales, rotations, shs,
     lo_x, hi_x, lo_y, hi_y = corner_aabb(cut_a)
     rmin = jnp.clip((jnp.stack([lo_x, lo_y], -1) / block).astype(jnp.int32),
                     0, grid)
-    rmax = jnp.clip(((jnp.stack([hi_x, hi_y], -1) + block - 1) / block)
-                    .astype(jnp.int32), 0, grid)
+    # floor(hi/B) + 1: exact tile cover for float bounds (see
+    # projection.tile_rect — the +B-1 idiom under-covers float boundaries).
+    rmax = jnp.clip(jnp.floor(jnp.stack([hi_x, hi_y], -1) / block)
+                    .astype(jnp.int32) + 1, 0, grid)
     rect_wh = jnp.maximum(rmax - rmin, 0)
     tiles = (rect_wh[..., 0] * rect_wh[..., 1]).astype(jnp.int32)
 

@@ -125,3 +125,43 @@ def test_jit_and_vmap_compatible():
     img = f(*args)
     assert img.shape == (3, 32, 32)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_tight_binning_exact_vs_unbinned_low_opacity():
+    """Alpha-tight binning must be EXACT: vs the truly unbinned dense
+    composite (tile_culling=False ignores rects entirely), at post-reset
+    opacities (sigmoid(-4.6) ~ 0.01) where the tight rect cuts hardest —
+    image, transmittance, AND gradients. Guards against an over-tight
+    contour radius, which rect-based parity tests can't see (both sides
+    share the rect)."""
+    s = make_settings(48, 80, bg=(0.2, 0.4, 0.6))
+    cloud = random_cloud(jax.random.PRNGKey(11), 90, spread=0.8)
+    # big splats (so 3-sigma rects span many tiles) at mixed low opacities
+    scaling = jnp.clip(cloud["scaling"] + 1.5, -3.0, -1.0)
+    opa = jax.random.uniform(jax.random.PRNGKey(12), (90, 1),
+                             minval=-5.5, maxval=-2.0)
+    args = (cloud["xyz"], opa, jnp.exp(scaling), cloud["rotations"],
+            cloud["features"])
+    ref = render_reference(*args, s, tile_culling=False)
+    til = render_tiled(*args, s)
+    assert not bool(til["overflow"])
+    np.testing.assert_allclose(np.asarray(til["render"]),
+                               np.asarray(ref["render"]), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(til["final_T"]),
+                               np.asarray(ref["final_T"]), atol=3e-5)
+
+    target = jnp.linspace(0, 1, 3 * 48 * 80).reshape(3, 48, 80)
+
+    def loss(render_fn, *a, **kw):
+        out = render_fn(*a, s, **kw)
+        return jnp.mean(jnp.abs(out["render"] - target))
+
+    g_ref = jax.grad(lambda *a: loss(render_reference, *a,
+                                     tile_culling=False),
+                     argnums=(0, 1, 2, 3, 4))(*args)
+    g_til = jax.grad(lambda *a: loss(render_tiled, *a),
+                     argnums=(0, 1, 2, 3, 4))(*args)
+    for gr, gt, nm in zip(g_ref, g_til,
+                          ["xyz", "opacity", "scales", "rot", "shs"]):
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(gr),
+                                   rtol=2e-3, atol=2e-5, err_msg=nm)
