@@ -212,6 +212,11 @@ def main():
                    "psnr": eval_psnr(), "n_points": model.num_points}
             history.append(row)
             print(row, flush=True)
+            # Crash-safe partial record (long CPU runs can be killed).
+            with open(args.out + ".partial", "w") as f:
+                json.dump({"preset": args.preset, "psnr_init": psnr0,
+                           "n_points_peak": int(n_peak),
+                           "history": history}, f)
 
     # Save raw + quantized, compare on-disk size.
     outdir = "/tmp/convergence_proof"
