@@ -192,14 +192,18 @@ def tile_rect(point_image: jnp.ndarray, radius: jnp.ndarray, tiles_x: int, tiles
 
     Args:
       point_image: [..., 2] pixel-space centers.
-      radius: [...] screen-space radii.
+      radius: [...] screen-space radii, or [..., 2] per-axis half-widths
+        (the exact AABB of an anisotropic alpha contour, see
+        rasterize.common.preprocess).
 
     Returns:
       (rect_min, rect_max): [..., 2] int32 tile coordinates, max exclusive.
     """
     grid = jnp.array([tiles_x, tiles_y], dtype=jnp.int32)
     block = jnp.array([BLOCK_X, BLOCK_Y], dtype=point_image.dtype)
-    rmin = ((point_image - radius[..., None]) / block).astype(jnp.int32)
+    if radius.ndim < point_image.ndim:
+        radius = radius[..., None]
+    rmin = ((point_image - radius) / block).astype(jnp.int32)
     # floor(hi/B) + 1, NOT the reference's (hi + B - 1) / B (auxiliary.h:52):
     # the +B-1 trick equals ceil only for integer hi; with float centers it
     # under-covers by up to one pixel, silently dropping boundary
@@ -207,7 +211,7 @@ def tile_rect(point_image: jnp.ndarray, radius: jnp.ndarray, tiles_x: int, tiles
     # slack, wrong under alpha-tight binning where the rect boundary sits
     # exactly on the 1/255 contour.
     rmax = jnp.floor(
-        (point_image + radius[..., None]) / block).astype(jnp.int32) + 1
+        (point_image + radius) / block).astype(jnp.int32) + 1
     rect_min = jnp.clip(rmin, 0, grid)
     rect_max = jnp.clip(rmax, 0, grid)
     return rect_min, rect_max

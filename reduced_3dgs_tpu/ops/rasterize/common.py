@@ -135,23 +135,29 @@ def preprocess(
 
     # Visibility / radii keep the reference's 3-sigma semantics
     # (forward.cu:429-432): they feed densification stats and screen-size
-    # pruning. BINNING uses the tighter alpha-cutoff contour: the composite
-    # gate zeroes every blend with op*exp(power) < 1/255 (ALPHA_EPS,
-    # forward.cu:546-548 analog), so tiles entirely outside the contour
-    # op*G >= 1/255 — radius sqrt(2*ln(255*op)*lambda_max) — contribute
-    # exactly nothing; dropping their entries changes no output or
-    # gradient, only the emitted pair count (a large cut at the low
-    # opacities that dominate after opacity resets).
+    # pruning. BINNING uses the exact AXIS-ALIGNED bounding box of the
+    # alpha-cutoff contour: the composite gate zeroes every blend with
+    # op*exp(power) < 1/255 (ALPHA_EPS, forward.cu:546-548 analog), and
+    # max over dy of the splat at offset dx is exp(-dx^2 / (2*Sigma_xx))
+    # (Gaussian marginal-maximum identity), so the contour op*G >= 1/255
+    # lies inside |dx| <= sqrt(t2*Sigma_xx), |dy| <= sqrt(t2*Sigma_yy)
+    # with t2 = 2*ln(255*op) — per-axis widths <= the circumradius
+    # sqrt(t2*lambda_max), MUCH tighter for anisotropic splats. Tiles
+    # outside the box contribute exactly nothing; dropping their entries
+    # changes no output or gradient, only the emitted pair count (a large
+    # cut at the low opacities that dominate after opacity resets). The
+    # 3-sigma circum-rect stays as the outer clamp (reference's hard cut).
     rect3_min, rect3_max = proj.tile_rect(point_image, radius, tiles_x, tiles_y)
     rect3_wh = jnp.maximum(rect3_max - rect3_min, 0)
     visible = visible & ((rect3_wh[..., 0] * rect3_wh[..., 1]) > 0)
 
-    t2 = 2.0 * jnp.log(255.0 * jnp.maximum(opacity, 1e-6))
-    # Unceiled float radius: tile_rect's floor+1 cover is exact for float
+    t2 = jnp.maximum(2.0 * jnp.log(255.0 * jnp.maximum(opacity, 1e-6)), 0.0)
+    # Unceiled float widths: tile_rect's floor+1 cover is exact for float
     # radii, so ceil here would only add rect slack.
-    bin_radius = jnp.minimum(
-        radius, jnp.sqrt(jnp.maximum(t2, 0.0) * lam_max))
-    rect_min, rect_max = proj.tile_rect(point_image, bin_radius,
+    bin_wx = jnp.minimum(radius, jnp.sqrt(t2 * jnp.maximum(cov2d[..., 0], 0.0)))
+    bin_wy = jnp.minimum(radius, jnp.sqrt(t2 * jnp.maximum(cov2d[..., 2], 0.0)))
+    rect_min, rect_max = proj.tile_rect(point_image,
+                                        jnp.stack([bin_wx, bin_wy], axis=-1),
                                         tiles_x, tiles_y)
     rect_wh = jnp.maximum(rect_max - rect_min, 0)
     tiles = (rect_wh[..., 0] * rect_wh[..., 1]).astype(jnp.int32)
