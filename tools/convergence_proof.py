@@ -252,7 +252,9 @@ def main():
     ok = (final["psnr"] >= 24.0 and final["psnr"] - psnr0 >= 4.0
           and result["prune_ratio_vs_peak"] >= 0.3
           and result["size_ratio"] <= 0.3)
-    result["bars_ok"] = bool(ok) if args.preset == "full" else None
+    # smoke is too short for the schedule (resets leave no recovery room);
+    # mid (900 steps, ~34k peak points) and full are real proofs.
+    result["bars_ok"] = bool(ok) if args.preset in ("full", "mid") else None
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items() if k != "history"}),
