@@ -82,14 +82,19 @@ def main():
         model_x.active_sh_degree = 3
 
         def loss_of(m):
-            def f(p):
-                out = m.render(p, cam, aux=aux, alive=alive,
+            # Every device array is an ARGUMENT: a jitted executable that
+            # captures concrete device arrays as closure constants degrades
+            # the axon runtime's dispatch path for the rest of the process
+            # (~6 ms on every later call), which would skew the timing loop
+            # below (see ops/projection.py transform_points note).
+            def f(p, camera, gt_img, aux_, alive_):
+                out = m.render(p, camera, aux=aux_, alive=alive_,
                                key_buffer_size=1 << 20)
-                return jnp.mean((out["render"] - gt) ** 2), out["render"]
+                return jnp.mean((out["render"] - gt_img) ** 2), out["render"]
             return jax.jit(jax.value_and_grad(f, has_aux=True))
 
-        (_, img_p), g_p = loss_of(model)(params)
-        (_, img_x), g_x = loss_of(model_x)(params)
+        (_, img_p), g_p = loss_of(model)(params, cam, gt, aux, alive)
+        (_, img_x), g_x = loss_of(model_x)(params, cam, gt, aux, alive)
         img_diff = float(jnp.max(jnp.abs(img_p - img_x)))
         grad_rel = {}
         for k in g_p:

@@ -105,6 +105,33 @@ def _best_k_rows(pts, mask, k, idx, cand_rows, dedup: bool):
     return -neg, jnp.take_along_axis(cand_rows, pos, axis=1)
 
 
+def _chunked_refine(pts, mask, k, i, row_chunk: int):
+    """One NN-descent round, candidates built PER CHUNK.
+
+    Materialising the full [N, k*k] neighbours-of-neighbours table before
+    chunking costs ~N*k^2 ints live at once (7+ GB at 2M points, k=30);
+    gathering it inside the mapped chunk keeps peak memory at the chunk
+    size like the window phase."""
+    n = pts.shape[0]
+    idx_all = jnp.arange(n, dtype=jnp.int32)
+
+    def one(args):
+        idx_c, i_c = args
+        nn2 = jnp.take(i, i_c, axis=0).reshape(i_c.shape[0], k * k)
+        cand = jnp.concatenate([i_c, nn2], axis=1)       # [R, k + k*k]
+        return _best_k_rows(pts, mask, k, idx_c, cand, dedup=True)
+
+    if n <= row_chunk:
+        return one((idx_all, i))
+    pad = (-n) % row_chunk
+    idx_p = jnp.pad(idx_all, (0, pad))
+    i_p = jnp.pad(i, ((0, pad), (0, 0)))
+    nb = (n + pad) // row_chunk
+    d2, i2 = jax.lax.map(one, (idx_p.reshape(nb, row_chunk),
+                               i_p.reshape(nb, row_chunk, k)))
+    return d2.reshape(-1, k)[:n], i2.reshape(-1, k)[:n]
+
+
 def _chunked_best_k(pts, mask, k, cand, row_chunk: int, dedup: bool):
     n = pts.shape[0]
     idx_all = jnp.arange(n, dtype=jnp.int32)
@@ -180,9 +207,7 @@ def knn(points: jnp.ndarray, k: int, window: int = 256,
     # window phase's, so rounds are cheap relative to phase 1.
     refine_chunk = max(1, (row_chunk * window * n_orders) // max(k * k, 1))
     for _ in range(refine_rounds):
-        nn2 = jnp.take(i, i, axis=0).reshape(n, k * k)     # [N, k*k]
-        cand2 = jnp.concatenate([i, nn2], axis=1)          # [N, k + k*k]
-        d, i = _chunked_best_k(pts, mask, k, cand2, refine_chunk, dedup=True)
+        d, i = _chunked_refine(pts, mask, k, i, refine_chunk)
     return d, i
 
 

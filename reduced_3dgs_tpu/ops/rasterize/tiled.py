@@ -142,7 +142,14 @@ def bin_and_sort(rect_min, rect_max, tiles_touched, depths, *,
 
     pos = jnp.arange(K, dtype=jnp.int32)
     assert K < (1 << 24)
-    if config.EMISSION_MODE == "carry":
+    emission_mode = config.EMISSION_MODE
+    if emission_mode == "carry" and not (tiles_x < 256 and tiles_y < 256):
+        # The carry packing rides three tile-rect fields on one exact f32
+        # carrier in base 256; grids of >= 256 tiles (images >= 4096 px on
+        # an axis) fall back to the gather emission instead of corrupting
+        # right-edge rects.
+        emission_mode = "gather"
+    if emission_mode == "carry":
         # Leanest emission: ONE carry-forward max-scan yields both the
         # entry's Gaussian id and that Gaussian's emission offset (both are
         # non-decreasing at run starts, and runs are contiguous because
@@ -150,7 +157,7 @@ def bin_and_sort(rect_min, rect_max, tiles_touched, depths, *,
         # per-entry counts: every pos < total lies in exactly one run, so
         # entry_valid is just pos < total. The remaining per-Gaussian
         # lookups shrink to a [2, K] gather: the three tile-rect fields
-        # (each < 256 for images up to 4096 px) ride one exact f32 carrier.
+        # (each < 256, guaranteed by the gather fallback above) ride one exact f32 carrier.
         assert tiles_x < 256 and tiles_y < 256, (tiles_x, tiles_y)
         ids = jnp.arange(N, dtype=jnp.int32)
         seed_idx = jnp.where(counts > 0, offsets, K)
@@ -172,7 +179,7 @@ def bin_and_sort(rect_min, rect_max, tiles_touched, depths, *,
         depth_e = cols[1]
         ordinal = pos - off_e
         entry_valid = pos < total
-    elif config.EMISSION_MODE == "scan":
+    elif emission_mode == "scan":
         # One row scatter of each Gaussian's record at its segment start +
         # a carry-forward (last-write-wins) associative scan. Avoids the
         # separate fill_ids scatter AND the [6, K] row gather: scatter cost
@@ -212,7 +219,7 @@ def bin_and_sort(rect_min, rect_max, tiles_touched, depths, *,
         rw_e = cols[3].astype(jnp.int32)
         rby_e = cols[4].astype(jnp.int32)
         depth_e = cols[5]
-    if config.EMISSION_MODE != "carry":
+    if emission_mode != "carry":
         ordinal = pos - off_e
         entry_valid = (ordinal >= 0) & (ordinal < cnt_e) & (pos < total)
 

@@ -189,17 +189,33 @@ class ShardedTrainer(Trainer):
                 (loss, out), grads = jax.value_and_grad(lf, has_aux=True)(
                     (p, offset0, cp))
                 gparams, goff, gcam = grads
-                # Sum over pixel bands; mean over data ranks.
+                # Every tile rank computes the SAME full-image loss, so the
+                # all_gather VJP (a psum-scatter of identical cotangents)
+                # hands each rank n_tile x its band's true cotangent —
+                # per-rank grads must therefore be MEANed over "tile", not
+                # summed (a psum here is n_tile x the true gradient: Adam's
+                # scale invariance hides it, but the densify accumulators
+                # and grad thresholds do not). Mean over data ranks as the
+                # per-step camera average.
                 gparams = jax.tree.map(
-                    lambda g: jax.lax.pmean(jax.lax.psum(g, "tile"), "data"),
-                    gparams)
+                    lambda g: jax.lax.pmean(g, ("tile", "data")), gparams)
                 loss = jax.lax.pmean(loss, ("data", "tile"))
-                goff = jax.lax.psum(goff, "tile")
+                goff = jax.lax.pmean(goff, "tile")
                 gcam = jax.tree.map(
-                    lambda g: jax.lax.psum(g, "tile")[None], gcam)
-                radii = jax.lax.pmax(out["radii"], ("data", "tile"))
-                vs_norm = jax.lax.pmean(
-                    jnp.linalg.norm(goff, axis=-1), "data")
+                    lambda g: jax.lax.pmean(g, "tile")[None], gcam)
+                # Densify stats must match D single-chip steps over the same
+                # cameras: per-rank visibility (pmax over tile only), grad
+                # norms SUMMED over the ranks where visible, and the
+                # visible-rank COUNT as the denominator increment (a pmean /
+                # any-visible pair undercounts partially visible Gaussians).
+                radii_d = jax.lax.pmax(out["radii"], "tile")
+                visible_d = radii_d > 0
+                norm_d = jnp.linalg.norm(goff, axis=-1)
+                vs_norm = jax.lax.psum(
+                    jnp.where(visible_d, norm_d, 0.0), "data")
+                vis_count = jax.lax.psum(
+                    visible_d.astype(jnp.int32), "data")
+                radii = jax.lax.pmax(radii_d, "data")
                 overflow = jax.lax.pmax(
                     out["overflow"].astype(jnp.int32), ("data", "tile")) > 0
                 num_rendered = jax.lax.pmax(out["num_rendered"],
@@ -207,10 +223,11 @@ class ShardedTrainer(Trainer):
                 imgs0 = jax.tree.map(
                     lambda x: x[None],
                     (out["render"], out["depth"], out["final_T"]))
-                return (loss, (gparams, radii, vs_norm, overflow,
+                return (loss, (gparams, radii, vs_norm, vis_count, overflow,
                                num_rendered), imgs0, gcam)
 
-            (loss, (gparams, radii, vs_norm, overflow, num_rendered),
+            (loss, (gparams, radii, vs_norm, vis_count, overflow,
+                    num_rendered),
              imgs, gcam) = device_step(params, aux, alive, cameras, extras,
                                        cam_params)
             gparams = F.mask_rows(gparams, alive)
@@ -219,8 +236,8 @@ class ShardedTrainer(Trainer):
             new_params, new_adam = adam_update(params, gparams, adam, lr_tree)
 
             visible = (radii > 0) & alive
-            xyz_accum = xyz_accum + jnp.where(visible, vs_norm, 0.0)
-            denom = denom + visible.astype(jnp.int32)
+            xyz_accum = xyz_accum + jnp.where(alive, vs_norm, 0.0)
+            denom = denom + jnp.where(alive, vis_count, 0)
             max_radii = jnp.maximum(max_radii,
                                     jnp.where(visible, radii, 0))
             renders, depths, finalTs = imgs
@@ -248,14 +265,21 @@ class ShardedTrainer(Trainer):
         """
         self.maybe_advance_schedules()
         loss_fn = outer.loss_pure()
+        if not isinstance(cameras, (list, tuple)) and (
+                getattr(cameras.world_view_transform, "ndim", 2) == 2):
+            # Bare unbatched Camera (e.g. train.py with n_data == 1):
+            # promote to a one-element batch rather than misreading its
+            # leaves as already carrying a data axis.
+            cameras = [cameras]
         if isinstance(cameras, (list, tuple)):
             cam_list = list(cameras)
+            n_orig = len(cam_list)
             n_data = self.mesh.shape["data"]
             if len(cam_list) < n_data:   # short final batch: wrap around
                 cam_list = (cam_list * n_data)[:n_data]
             batched = batch_cameras(cam_list)
         else:
-            cam_list, batched = None, cameras
+            cam_list, n_orig, batched = None, 0, cameras
         cam0 = cameras_first(batched)
 
         camera_apply, cam_params, consumes = None, {}, None
@@ -265,7 +289,10 @@ class ShardedTrainer(Trainer):
                 cam_params = jax.tree.map(
                     lambda *xs: jnp.stack(xs), *[a[0] for a in adjs])
                 camera_apply = adjs[0][1]
-                consumes = [a[2] for a in adjs]
+                # Wrap-padded duplicates of a short batch must not re-step
+                # the SAME per-camera Adam slot: consume only the original
+                # entries' gradients.
+                consumes = [a[2] for a in adjs[:n_orig]]
 
         key_buffer = self.key_buffer_for(cam0)
         key = self._cache_key(cam0, loss_fn, key_buffer, camera_apply)

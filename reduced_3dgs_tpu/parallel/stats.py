@@ -38,8 +38,6 @@ from ..ops.rasterize.tiled import default_key_buffer_size
 from ..ops.shculling_stats import colours_by_degree
 from .sharding import band_layout, batch_cameras, cameras_first
 
-_fn_cache = {}
-
 
 def _camera_batches(cameras, n_data):
     """Group same-size cameras into batches of n_data (+ repeat-padding with
@@ -134,12 +132,18 @@ def _sweep(model, params, aux, alive, cameras, mesh, *, moments: bool,
         tiles_x = -(-w // config.BLOCK_X)
         band_tiles, _, _ = band_layout(h, mesh.shape["tile"])
         key_buffer = default_key_buffer_size(c, tiles_x, band_tiles)
-        key = (id(model), mesh, h, w, key_buffer, moments, max_deg, c)
-        if key not in _fn_cache:
-            _fn_cache[key] = _build_sweep_fn(model, mesh, h, w, key_buffer,
-                                             moments, max_deg)
-        res = _fn_cache[key](params, aux, alive, batched, weights, features,
-                             degrees)
+        # Cache lives ON THE MODEL (not module-level): a module cache keyed
+        # by id(model) retains every model and its compiled sweeps for the
+        # process lifetime (and id() can collide after GC).
+        cache = getattr(model, "_sweep_fn_cache", None)
+        if cache is None:
+            cache = model._sweep_fn_cache = {}
+        key = (mesh, h, w, key_buffer, moments, max_deg, c)
+        if key not in cache:
+            cache[key] = _build_sweep_fn(model, mesh, h, w, key_buffer,
+                                         moments, max_deg)
+        res = cache[key](params, aux, alive, batched, weights, features,
+                         degrees)
         totals = res if totals is None else jax.tree.map(
             jnp.add, totals, res)
     return totals

@@ -133,7 +133,10 @@ class DensificationTrainer(TrainerWrapper):
         if instruction.new_points is None:
             if self._apply_instruction_device(instruction):
                 return
-            instruction = self._materialize_appends(instruction)
+        # Host path: fold any AppendSpecs into new_points (merged with
+        # host-materialised new_points if both are present — dropping the
+        # appends here would silently lose clone/split points).
+        instruction = self._materialize_appends(instruction)
         engine = self.engine
         n = int(engine.n_alive)
         trees = engine.state_trees()

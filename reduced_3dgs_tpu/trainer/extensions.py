@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 
 from ..models.gaussian_model import inverse_sigmoid
-from ..utils.schedule import get_expon_lr_func
 from .abc import AbstractTrainer, TrainerWrapper
 from .optimizer import AdamState
 
@@ -79,9 +78,6 @@ class DepthSupervisor(TrainerWrapper):
                  depth_l1_weight_final: float = 0.01,
                  depth_l1_weight_max_steps: int = 30000):
         super().__init__(base_trainer)
-        self._sched = get_expon_lr_func(depth_l1_weight_init,
-                                        depth_l1_weight_final,
-                                        max_steps=depth_l1_weight_max_steps)
         base = self.base_trainer.loss_pure()
         import math
         log_wi = math.log(max(depth_l1_weight_init, 1e-30))

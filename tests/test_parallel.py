@@ -94,3 +94,46 @@ def test_distributed_init_noop_single_host(monkeypatch):
     assert distributed_init() is False
     monkeypatch.setenv("JAX_NUM_PROCESSES", "1")
     assert distributed_init() is False
+
+
+def test_sharded_step_accepts_bare_camera():
+    """A bare (unbatched) Camera must be promoted to a one-element batch
+    (train.py's n_data == 1 path, e.g. '--mesh auto' 1xN meshes)."""
+    mesh = make_mesh(n_data=1, n_tile=8)
+    gt_model, ds = _toy_scene(n=16, hw=32, n_cams=2)
+    model = _perturbed_model(gt_model)
+    trainer = ShardedTrainer(model, ds, mesh=mesh)
+    loss, out = trainer.step(ds[0])          # bare Camera, no list
+    assert np.isfinite(float(loss))
+    assert out["render"].shape == (3, 32, 32)
+
+
+def test_sharded_densify_stats_match_single_device():
+    """Densification accumulators after one sharded step over D distinct
+    cameras must equal D single-chip steps over the same cameras (grad-norm
+    SUM over visible ranks; denominator counts visible ranks, not
+    any-visible)."""
+    gt_model, ds = _toy_scene(n=16, hw=32, n_cams=2)
+    from reduced_3dgs_tpu.trainer import Trainer
+    model_a = _perturbed_model(gt_model, key=3)
+    single = Trainer(model_a, ds)
+    single.step(ds[0])
+    single.step(ds[1])
+    accum_s = np.asarray(single.xyz_grad_accum)
+    denom_s = np.asarray(single.xyz_grad_denom)
+
+    model_b = _perturbed_model(gt_model, key=3)
+    mesh = make_mesh(n_data=2, n_tile=4)
+    sharded = ShardedTrainer(model_b, ds, mesh=mesh)
+    shard_train_step(sharded, [ds[0], ds[1]])
+    accum_d = np.asarray(sharded.xyz_grad_accum)
+    denom_d = np.asarray(sharded.xyz_grad_denom)
+
+    np.testing.assert_array_equal(denom_d, denom_s)
+    # Grad norms differ slightly: the sharded step's camera-0 gradient is
+    # evaluated at the same params as camera-1's (one fused step), while the
+    # single-chip run steps params between cameras.
+    live = denom_s > 0
+    np.testing.assert_allclose(accum_d[live], accum_s[live],
+                               rtol=0.35, atol=1e-6)
+    assert (accum_d[~live] == 0).all()

@@ -113,7 +113,10 @@ def main():
     chosen = None
     for window, n_orders, refine in ((256, 2, 0), (256, 3, 0), (128, 2, 1),
                                      (128, 2, 2), (256, 2, 1), (256, 2, 2),
-                                     (256, 3, 1), (256, 3, 2), (384, 3, 2)):
+                                     (256, 3, 1), (256, 3, 2), (384, 3, 2),
+                                     # the >=0.95 region that produced the
+                                     # baked ops/knn.py defaults
+                                     (256, 3, 3), (256, 3, 4)):
         t0 = time.time()
         _, idx = knn(pts, args.k, window=window, n_orders=n_orders,
                      refine_rounds=refine)
