@@ -254,8 +254,11 @@ def _fwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
             jnp.sum(w * g, axis=1, keepdims=True),
             jnp.sum(w * b, axis=1, keepdims=True),
             jnp.sum(w * depth, axis=1, keepdims=True)], axis=1)
-        t_run[:, :] = T * jnp.prod(
-            jnp.where(contrib, one_m, 1.0), axis=1, keepdims=True)
+        # Mosaic has no reduce_prod lowering: take the masked product as the
+        # last lane of a cumprod ladder instead (same rotate ladder as the
+        # T_in scan above).
+        masked_cum = _cumprod_lanes(jnp.where(contrib, one_m, 1.0))
+        t_run[:, :] = T * masked_cum[:, CHUNK - 1:CHUNK]
         latch_acc[:, :] = latch_new
 
         if with_stats:
