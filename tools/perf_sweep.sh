@@ -10,7 +10,7 @@ run() {
   local tag="$1"; shift
   echo "=== $tag ($*)" >&2
   local line
-  line=$(env "$@" BENCH_PARITY=0 BENCH_STEPS=20 timeout 600 \
+  line=$(env "$@" BENCH_PARITY=0 BENCH_STEPS=20 timeout 1500 \
          python bench.py 2>/dev/null | tail -1)
   echo "{\"tag\": \"$tag\", \"env\": \"$*\", \"result\": ${line:-null}}" >> "$OUT"
   echo "$tag -> $(echo "$line" | python -c 'import json,sys
