@@ -249,16 +249,21 @@ def _fwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
                            keepdims=True))                   # [P,1]
         contrib = gate & (gpos < latch_new)
         w = jnp.where(contrib, abar * T_in, 0.0)
-        color_acc[:, :] = color_acc[:, :] + jnp.concatenate([
-            jnp.sum(w * r, axis=1, keepdims=True),
-            jnp.sum(w * g, axis=1, keepdims=True),
-            jnp.sum(w * b, axis=1, keepdims=True),
-            jnp.sum(w * depth, axis=1, keepdims=True)], axis=1)
-        # Mosaic has no reduce_prod lowering: take the masked product as the
-        # last lane of a cumprod ladder instead (same rotate ladder as the
-        # T_in scan above).
-        masked_cum = _cumprod_lanes(jnp.where(contrib, one_m, 1.0))
-        t_run[:, :] = T * masked_cum[:, CHUNK - 1:CHUNK]
+        # One [P,C]@[C,5] MXU matmul replaces four lane reductions plus the
+        # transmittance update: columns are (r,g,b,depth,1), so column 4 is
+        # sum(w), and the telescoping identity
+        #   sum_k a_k T_in_k = T * (1 - prod_contrib(1-a_k))
+        # gives the chunk's transmittance product as T - sum(w) — the
+        # second (masked) cumprod ladder previously computed it directly.
+        # HIGHEST precision keeps the accumulation in f32 on the MXU.
+        rgbd1 = jnp.concatenate(
+            [r, g, b, depth, jnp.ones_like(r)], axis=0)      # [5,C]
+        sums = jax.lax.dot_general(
+            w, rgbd1, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)             # [P,5]
+        color_acc[:, :] = color_acc[:, :] + sums[:, :4]
+        t_run[:, :] = jnp.maximum(T - sums[:, 4:5], 0.0)
         latch_acc[:, :] = latch_new
 
         if with_stats:

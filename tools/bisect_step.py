@@ -219,6 +219,57 @@ def main():
             lambda c, x: consume(c, x), jax.tree_util.tree_leaves(g),
             consume(carry, val))
 
+    def s_lossgrad_offset(carry, p):
+        """grads wrt (params, offset) with has_aux out — like the real step."""
+        p = dict(p)
+        p["xyz"] = p["xyz"] + carry * 1e-30
+        c = p["xyz"].shape[0]
+        alive = F.alive_mask(c, n_alive)
+        loss_fn = trainer.loss_pure()
+        offset0 = jnp.zeros((c, 2), jnp.float32)
+
+        def f(diff):
+            pp, off = diff
+            o = model.render(pp, cam, aux=aux, alive=alive,
+                             mean2d_offset_ndc=off, key_buffer_size=K)
+            return loss_fn(pp, aux, o, cam, {}), o
+        (val, o), g = jax.value_and_grad(f, has_aux=True)((p, offset0))
+        return functools.reduce(
+            lambda c_, x: consume(c_, x), jax.tree_util.tree_leaves(g),
+            consume(carry, val, o["render"], o["radii"]))
+
+    def s_fullbody(carry, p):
+        """The entire step_fn body: grads + mask + adam + accums."""
+        from reduced_3dgs_tpu.trainer.optimizer import adam_update
+        p = dict(p)
+        p["xyz"] = p["xyz"] + carry * 1e-30
+        c = p["xyz"].shape[0]
+        alive = F.alive_mask(c, n_alive)
+        loss_fn = trainer.loss_pure()
+        offset0 = jnp.zeros((c, 2), jnp.float32)
+
+        def f(diff):
+            pp, off = diff
+            o = model.render(pp, cam, aux=aux, alive=alive,
+                             mean2d_offset_ndc=off, key_buffer_size=K)
+            return loss_fn(pp, aux, o, cam, {}), o
+        (val, o), grads = jax.value_and_grad(f, has_aux=True)((p, offset0))
+        gparams, goff = grads
+        gparams = F.mask_rows(gparams, alive)
+        lr_tree = dict(trainer.lr_tree(p))
+        lr_tree["xyz"] = trainer.xyz_lr_traced(trainer.adam.count)
+        new_params, new_adam = adam_update(p, gparams, trainer.adam, lr_tree)
+        radii = o["radii"]
+        visible = (radii > 0) & alive
+        vs_norm = jnp.linalg.norm(goff, axis=-1)
+        acc = jnp.where(visible, vs_norm, 0.0)
+        leaves = (jax.tree_util.tree_leaves(new_params)
+                  + jax.tree_util.tree_leaves(new_adam.m)
+                  + jax.tree_util.tree_leaves(new_adam.v)
+                  + [acc, o["render"]])
+        return functools.reduce(lambda c_, x: consume(c_, x), leaves,
+                                consume(carry, val))
+
     stages = [
         ("preprocess", s_pre),
         ("+binsort", s_binsort),
@@ -230,13 +281,54 @@ def main():
         ("grad(kernel only)", s_csgrad),
         ("grad(render sum)", s_rendergrad),
         ("grad(full loss)", s_lossgrad),
+        ("grad(loss+offset+aux)", s_lossgrad_offset),
+        ("full_body(adam+accum)", s_fullbody),
     ]
     results = {}
+    only = os.environ.get("BISECT_ONLY")
+    pats = only.split(",") if only else None
     for name, fn in stages:
+        if pats and not any(p in name for p in pats):
+            continue
         jf = jax.jit(fn)
         ms = timeit(jf, (params,))
         results[name] = round(ms, 2)
         print(f"{name:24s} {ms:8.2f} ms", file=sys.stderr, flush=True)
+
+    # Direct step_fn rebind loop: device cost of the REAL jitted step,
+    # excluding trainer.step's host-side python (but including donation).
+    if not pats or any("loop" in p for p in pats):
+        key = next(iter(trainer._step_fns))
+        step_fn = trainer._step_fns[key]
+        state = (trainer.model.parameters(), trainer.model.aux_state(),
+                 trainer.adam, trainer.xyz_grad_accum, trainer.xyz_grad_denom,
+                 trainer.max_radii2d)
+
+        def run_one(st):
+            p_, aux_, adam_, acc_, den_, mr_ = st
+            (np_, na_, nacc_, nden_, nmr_, loss_, out_, _gc) = step_fn(
+                p_, aux_, adam_, acc_, den_, mr_, cam, n_alive, {}, {})
+            return (np_, aux_, na_, nacc_, nden_, nmr_), loss_
+        for _ in range(3):
+            state, loss_ = run_one(state)
+        jax.block_until_ready(loss_)
+        t0 = time.perf_counter()
+        for _ in range(20):
+            state, loss_ = run_one(state)
+        jax.block_until_ready(loss_)
+        ms = (time.perf_counter() - t0) / 20 * 1e3
+        results["step_fn_loop"] = round(ms, 2)
+        print(f"{'step_fn_loop':24s} {ms:8.2f} ms", file=sys.stderr, flush=True)
+
+        # Full trainer.step loop (host python included) for reference.
+        t0 = time.perf_counter()
+        for _ in range(20):
+            loss2, out2 = trainer.step(cam)
+        jax.block_until_ready(out2["render"])
+        ms = (time.perf_counter() - t0) / 20 * 1e3
+        results["trainer_step_loop"] = round(ms, 2)
+        print(f"{'trainer_step_loop':24s} {ms:8.2f} ms", file=sys.stderr, flush=True)
+
     print(json.dumps(results))
     os._exit(0)
 
