@@ -81,6 +81,26 @@ def main():
         model_x.init_degrees()
         model_x.active_sh_degree = 3
 
+        # Compare gradients at PERTURBED params against the unperturbed GT,
+        # so the loss is O(1e-2) — a real training regime. Round 2's gate
+        # compared gradients AT the loss minimum (gt rendered from the very
+        # params being differentiated), where the "gradients" are fp-noise
+        # residuals and a max-rel-diff gate measures nothing (VERDICT r02
+        # Weak #2).
+        pk = jax.random.split(jax.random.PRNGKey(7), 6)
+        params_p = dict(
+            xyz=params["xyz"] + 0.01 * jax.random.normal(pk[0], params["xyz"].shape),
+            features_dc=params["features_dc"]
+            + 0.05 * jax.random.normal(pk[1], params["features_dc"].shape),
+            features_rest=params["features_rest"]
+            + 0.02 * jax.random.normal(pk[2], params["features_rest"].shape),
+            scaling=params["scaling"]
+            + 0.1 * jax.random.normal(pk[3], params["scaling"].shape),
+            rotation=params["rotation"]
+            + 0.02 * jax.random.normal(pk[4], params["rotation"].shape),
+            opacity=params["opacity"]
+            + 0.2 * jax.random.normal(pk[5], params["opacity"].shape))
+
         def loss_of(m):
             # Every device array is an ARGUMENT: a jitted executable that
             # captures concrete device arrays as closure constants degrades
@@ -93,8 +113,8 @@ def main():
                 return jnp.mean((out["render"] - gt_img) ** 2), out["render"]
             return jax.jit(jax.value_and_grad(f, has_aux=True))
 
-        (_, img_p), g_p = loss_of(model)(params, cam, gt, aux, alive)
-        (_, img_x), g_x = loss_of(model_x)(params, cam, gt, aux, alive)
+        (loss_p, img_p), g_p = loss_of(model)(params_p, cam, gt, aux, alive)
+        (loss_x, img_x), g_x = loss_of(model_x)(params_p, cam, gt, aux, alive)
         img_diff = float(jnp.max(jnp.abs(img_p - img_x)))
         grad_rel = {}
         for k in g_p:
@@ -103,6 +123,7 @@ def main():
         parity_ok = bool(img_diff < 5e-3
                          and all(v < 1e-2 for v in grad_rel.values()))
         parity_detail = {"img_max_abs_diff": round(img_diff, 6),
+                         "loss": round(float(loss_x), 6),
                          "grad_max_rel_diff": {k: round(v, 6)
                                                for k, v in grad_rel.items()}}
 
@@ -127,6 +148,32 @@ def main():
     dt = (time.perf_counter() - t0) / STEPS
 
     pix_per_s = HEIGHT * WIDTH / dt
+
+    # --- flagship steady-state step (VERDICT r02 #8): the product is the
+    # densify-pruning-shculling onion; its per-step cost (accumulators
+    # live, no event in the timed window) is the 30k-iteration number.
+    flagship_ms = None
+    if os.environ.get("BENCH_FLAGSHIP", "1") == "1":
+        from reduced_3dgs_tpu.prepare import modes
+        fmodel = VariableSHGaussianModel(3, render_backend=backend)
+        fmodel.set_parameters({k: jnp.array(v)
+                               for k, v in model.parameters().items()})
+        fmodel.init_degrees()
+        ftrainer = modes["densify-pruning-shculling"](fmodel, ds)
+        # Steady state past the event windows (densify/prune end @15000,
+        # importance @20000): only the wrappers' per-step overhead remains.
+        ftrainer.curr_step = 25_000
+        ftrainer.engine._curr_step = 25_000
+        fmodel.active_sh_degree = 3
+        for _ in range(130):
+            _, fout = ftrainer.step(cam)
+        jax.block_until_ready(fout["render"])
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            _, fout = ftrainer.step(cam)
+        jax.block_until_ready(fout["render"])
+        flagship_ms = (time.perf_counter() - t0) / STEPS * 1e3
+
     result = {
         "metric": "train_step_pixels_per_s",
         "value": round(pix_per_s, 1),
@@ -139,11 +186,17 @@ def main():
             "n_gaussians": n,
             "resolution": [HEIGHT, WIDTH],
             "step_ms": round(dt * 1e3, 2),
+            "flagship_step_ms": (round(flagship_ms, 2)
+                                 if flagship_ms is not None else None),
             "num_rendered": num_rendered,
             "device": str(jax.devices()[0]),
         },
     }
     print(json.dumps(result))
+    # Hard gate (VERDICT r02 #6): a failing numerics gate must turn the
+    # round's artifacts red, not ship silently.
+    if parity_ok is False:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

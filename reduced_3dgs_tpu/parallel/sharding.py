@@ -61,6 +61,31 @@ def distributed_init() -> bool:
     return False
 
 
+def globalize_tree(tree, mesh: Mesh):
+    """Promote every leaf to a fully-replicated GLOBAL array over `mesh`.
+
+    Multi-process (multi-controller) JAX requires jit inputs to be global
+    arrays — a process-local single-device array cannot be auto-distributed
+    across processes. Every process is assumed to hold the SAME value (the
+    trainer's replicated-state invariant), so the promotion is
+    communication-free: each process contributes its local copy as the
+    replicated shards on its own devices. Leaves that are already global
+    over the full mesh pass through. No-op in single-process runs.
+    """
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils as mh
+
+    def leaf(x):
+        if x is None:
+            return None
+        if isinstance(x, jax.Array) and len(x.sharding.device_set) == mesh.size:
+            return x
+        return mh.host_local_array_to_global_array(np.asarray(x), mesh, P())
+
+    return jax.tree.map(leaf, tree)
+
+
 def make_mesh(n_data: Optional[int] = None, n_tile: int = 1,
               devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
@@ -301,11 +326,12 @@ class ShardedTrainer(Trainer):
                                                       camera_apply)
         params = self.model.parameters()
         aux = self.model.aux_state()
+        args = globalize_tree(
+            (params, aux, self.adam, self.xyz_grad_accum,
+             self.xyz_grad_denom, self.max_radii2d, batched, self.n_alive,
+             outer.loss_scalars(), cam_params), self.mesh)
         (new_params, new_adam, xyz_accum, denom, max_radii, loss, out, gcam
-         ) = self._step_fns[key](
-            params, aux, self.adam, self.xyz_grad_accum, self.xyz_grad_denom,
-            self.max_radii2d, batched, self.n_alive,
-            outer.loss_scalars(), cam_params)
+         ) = self._step_fns[key](*args)
         if consumes is not None:
             for i, consume in enumerate(consumes):
                 consume(jax.tree.map(lambda g: g[i], gcam))

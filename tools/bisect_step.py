@@ -239,7 +239,14 @@ def main():
             consume(carry, val, o["render"], o["radii"]))
 
     def s_fullbody(carry, p):
-        """The entire step_fn body: grads + mask + adam + accums."""
+        """The entire step_fn body: grads + mask + adam + accums.
+
+        Mirrors trainer/base.py step_fn (advisor r02 low): the step
+        counter is injected into extras, Adam state is consumed (as
+        trainer.adam values, a jit constant — acceptable here: the bisect
+        compares stage deltas, not dispatch hygiene), and the denom /
+        max_radii accumulator updates are included.
+        """
         from reduced_3dgs_tpu.trainer.optimizer import adam_update
         p = dict(p)
         p["xyz"] = p["xyz"] + carry * 1e-30
@@ -247,12 +254,13 @@ def main():
         alive = F.alive_mask(c, n_alive)
         loss_fn = trainer.loss_pure()
         offset0 = jnp.zeros((c, 2), jnp.float32)
+        extras = {"step": trainer.adam.count}
 
         def f(diff):
             pp, off = diff
             o = model.render(pp, cam, aux=aux, alive=alive,
                              mean2d_offset_ndc=off, key_buffer_size=K)
-            return loss_fn(pp, aux, o, cam, {}), o
+            return loss_fn(pp, aux, o, cam, extras), o
         (val, o), grads = jax.value_and_grad(f, has_aux=True)((p, offset0))
         gparams, goff = grads
         gparams = F.mask_rows(gparams, alive)
@@ -263,10 +271,12 @@ def main():
         visible = (radii > 0) & alive
         vs_norm = jnp.linalg.norm(goff, axis=-1)
         acc = jnp.where(visible, vs_norm, 0.0)
+        denom_new = visible.astype(jnp.int32)
+        max_radii_new = jnp.where(visible, radii, 0)
         leaves = (jax.tree_util.tree_leaves(new_params)
                   + jax.tree_util.tree_leaves(new_adam.m)
                   + jax.tree_util.tree_leaves(new_adam.v)
-                  + [acc, o["render"]])
+                  + [acc, denom_new, max_radii_new, o["render"]])
         return functools.reduce(lambda c_, x: consume(c_, x), leaves,
                                 consume(carry, val))
 
@@ -300,9 +310,14 @@ def main():
     if not pats or any("loop" in p for p in pats):
         key = next(iter(trainer._step_fns))
         step_fn = trainer._step_fns[key]
-        state = (trainer.model.parameters(), trainer.model.aux_state(),
-                 trainer.adam, trainer.xyz_grad_accum, trainer.xyz_grad_denom,
-                 trainer.max_radii2d)
+        # COPIES of the live state: step_fn donates argnums (0,2,3,4,5)
+        # (trainer/base.py), so feeding the trainer's own buffers would
+        # invalidate them and crash the trainer_step_loop below with a
+        # deleted-buffer error (advisor r02, medium).
+        state = jax.tree_util.tree_map(jnp.copy, (
+            trainer.model.parameters(), trainer.model.aux_state(),
+            trainer.adam, trainer.xyz_grad_accum, trainer.xyz_grad_denom,
+            trainer.max_radii2d))
 
         def run_one(st):
             p_, aux_, adam_, acc_, den_, mr_ = st
