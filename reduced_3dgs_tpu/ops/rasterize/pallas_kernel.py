@@ -70,6 +70,22 @@ CHUNK = int(_os.environ.get("R3DGS_CHUNK", "256"))
 N_FIELDS = 10
 BLOCK = config.BLOCK_SIZE           # 256 pixels per tile
 BIG = 2 ** 30  # python int: jnp constants at module scope would be traced captures
+# Within-chunk scan strategy: "mxu" computes the transmittance prefix as a
+# log-space [P,C]@[C,C] triangular matmul (Precision.HIGHEST keeps f32
+# accuracy on the MXU) — one matmul replaces the 8-level rotate ladder
+# (24 VPU ops) in the forward and BOTH ladders (48 ops) in the backward.
+# "ladder" keeps the shift-add ladder (exact linear-space products).
+SCAN_MODE = _os.environ.get("R3DGS_SCAN", "ladder")
+
+
+def _tri_matrix():
+    """tri[c, j] = 1.0 iff j < c (strict lower in the [c, j] orientation).
+
+    Contracted against the lane axis it yields prefix/suffix sums on the
+    MXU: dot(x, tri, contract x.1 with tri.1) = exclusive prefix;
+    contract x.1 with tri.0 = strict suffix."""
+    c = jnp.arange(CHUNK, dtype=jnp.int32)
+    return (c[None, :] < c[:, None]).astype(jnp.float32)
 
 
 def _cumsum_lanes(x, exclusive: bool = False):
@@ -200,7 +216,7 @@ def step_layout(range_start, range_end, k: int, num_tiles: int,
 # --------------------------------------------------------------------------
 
 def _fwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
-                e_ref,                                  # [16, CHUNK] block
+                e_ref, tri_ref,                         # [16|C, CHUNK] blocks
                 color_ref, t_ref, latch_ref,            # [BLOCK, *] tile state
                 *rest,                                  # [stats_ref,] scratch
                 tiles_x: int, num_tiles: int, with_stats: bool = False):
@@ -245,11 +261,25 @@ def _fwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
 
         T = t_run[:, :]
         one_m = 1.0 - abar                                   # [P,C]
-        cum = _cumprod_lanes(one_m)                          # inclusive
-        lane_pos = jax.lax.broadcasted_iota(jnp.int32, cum.shape, 1)
-        exc = jnp.where(lane_pos >= 1, pltpu.roll(cum, 1, 1), 1.0)
-        T_in = T * exc                                       # [P,C]
-        trigger = gate & (T * cum < config.T_EPS)            # = T_in*(1-abar)
+        if SCAN_MODE == "mxu":
+            # Log-space prefix on the MXU: one [P,C]@[C,C] triangular
+            # matmul (HIGHEST = f32-accurate) replaces the 8-level rotate
+            # ladder. Also the SAME arithmetic the backward replay uses
+            # (exp of log1p sums), so the saved final_T seeds it without
+            # representation mismatch.
+            l1m = jnp.log1p(-abar)                           # 0 where gated out
+            lex = jax.lax.dot_general(
+                l1m, tri_ref[:, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)         # excl prefix
+            T_in = T * jnp.exp(lex)
+            trigger = gate & (T_in * one_m < config.T_EPS)
+        else:
+            cum = _cumprod_lanes(one_m)                      # inclusive
+            lane_pos = jax.lax.broadcasted_iota(jnp.int32, cum.shape, 1)
+            exc = jnp.where(lane_pos >= 1, pltpu.roll(cum, 1, 1), 1.0)
+            T_in = T * exc                                   # [P,C]
+            trigger = gate & (T * cum < config.T_EPS)        # = T_in*(1-abar)
         latch_new = jnp.minimum(
             latch, jnp.min(jnp.where(trigger, gpos, BIG), axis=1,
                            keepdims=True))                   # [P,1]
@@ -269,7 +299,16 @@ def _fwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)             # [P,5]
         color_acc[:, :] = color_acc[:, :] + sums[:, :4]
-        t_run[:, :] = jnp.maximum(T - sums[:, 4:5], 0.0)
+        if SCAN_MODE == "mxu":
+            # Multiplicative T update (contrib-masked log sum): immune to
+            # the T - sum(w) cancellation when a chunk absorbs nearly all
+            # transmittance (ADVICE r02), and exactly the backward's
+            # total-log replay quantity.
+            tot_l = jnp.sum(jnp.where(contrib, l1m, 0.0), axis=1,
+                            keepdims=True)
+            t_run[:, :] = T * jnp.exp(tot_l)
+        else:
+            t_run[:, :] = jnp.maximum(T - sums[:, 4:5], 0.0)
         latch_acc[:, :] = latch_new
 
         if with_stats:
@@ -346,6 +385,9 @@ def tile_composite_fwd(e_packed, step_chunk, step_tile, step_lo, step_hi,
         grid=(n_steps,),
         in_specs=[pl.BlockSpec((N_FIELDS, CHUNK),
                                lambda s, sc, st, sl, sh, ro: (0, sc[s]),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((CHUNK, CHUNK),
+                               lambda s, sc, st, sl, sh, ro: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=tuple(out_specs),
         scratch_shapes=[
@@ -362,7 +404,7 @@ def tile_composite_fwd(e_packed, step_chunk, step_tile, step_lo, step_hi,
         out_shape=tuple(out_shape),
         interpret=interpret,
     )(step_chunk, step_tile, step_lo, step_hi,
-      jnp.asarray([row_offset], jnp.int32), e_packed)
+      jnp.asarray([row_offset], jnp.int32), e_packed, _tri_matrix())
     if not with_stats:
         return out
     color4, final_t, latch, s_steps = out
@@ -377,7 +419,7 @@ def tile_composite_fwd(e_packed, step_chunk, step_tile, step_lo, step_hi,
 # --------------------------------------------------------------------------
 
 def _bwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
-                e_ref, final_t, latch_in, g_color, g_t,  # blocks
+                e_ref, tri_ref, final_t, latch_in, g_color, g_t,  # blocks
                 grads_ref,                              # [16, CHUNK] block
                 t_run, s_acc, maxlatch,                 # scratch
                 *, tiles_x: int, num_tiles: int):
@@ -423,7 +465,13 @@ def _bwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
         # Replay: T_in_k = T_end / prod_{j>=k}(1-abar_j)
         #               = T_end * exp(prefix_exclusive_k - total)
         tot_log = jnp.sum(log1ma, axis=1, keepdims=True)    # [P,1]
-        prefix_ex = _cumsum_lanes(log1ma, exclusive=True)
+        if SCAN_MODE == "mxu":
+            prefix_ex = jax.lax.dot_general(
+                log1ma, tri_ref[:, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        else:
+            prefix_ex = _cumsum_lanes(log1ma, exclusive=True)
         T_in = T_end * jnp.exp(prefix_ex - tot_log)         # T before entry
         w = jnp.where(contrib, abar * T_in, 0.0)
 
@@ -440,8 +488,16 @@ def _bwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
         # suffix sums of w*cdotg EXCLUSIVE of k, then add the carry S.
         wc = w * cdotg
         tot_wc = jnp.sum(wc, axis=1, keepdims=True)
-        prefix_incl_wc = _cumsum_lanes(wc)
-        S_after = (tot_wc - prefix_incl_wc) + S              # [P,C]
+        if SCAN_MODE == "mxu":
+            # Strict suffix sum = same triangular matrix contracted on its
+            # OTHER axis (tri[j, c] = c < j).
+            S_after = jax.lax.dot_general(
+                wc, tri_ref[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) + S
+        else:
+            prefix_incl_wc = _cumsum_lanes(wc)
+            S_after = (tot_wc - prefix_incl_wc) + S          # [P,C]
         dabar = jnp.where(
             contrib,
             cdotg * T_in - S_after / (1.0 - abar),
@@ -495,6 +551,9 @@ def tile_composite_bwd(e_packed, step_chunk, step_tile, step_lo, step_hi,
             pl.BlockSpec((N_FIELDS, CHUNK),
                          lambda s, sc, st, sl, sh, ro: (0, sc[rev - s]),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, CHUNK),
+                         lambda s, sc, st, sl, sh, ro: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BLOCK, 1),
                          lambda s, sc, st, sl, sh, ro: (st[rev - s], 0, 0),
                          memory_space=pltpu.VMEM),
@@ -525,7 +584,7 @@ def tile_composite_bwd(e_packed, step_chunk, step_tile, step_lo, step_hi,
         interpret=interpret,
     )(step_chunk, step_tile, step_lo, step_hi,
       jnp.asarray([row_offset], jnp.int32),
-      e_packed, final_t, latch, g_color4, g_t)
+      e_packed, _tri_matrix(), final_t, latch, g_color4, g_t)
     g_chunks = jax.ops.segment_sum(g_steps, step_chunk,
                                    num_segments=k // CHUNK)
     return jnp.moveaxis(g_chunks, 0, 1).reshape(N_FIELDS, k)
