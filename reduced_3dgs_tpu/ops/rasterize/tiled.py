@@ -49,6 +49,19 @@ from . import common
 from .common import RenderSettings
 
 
+def max_key_buffer(n: int, tiles_x: int, tiles_y: int) -> int:
+    """Hard upper bound on occupied entry slots for n Gaussians.
+
+    Without alignment this is n * num_tiles (every Gaussian in every
+    tile); segment alignment (ALIGN_SEGMENTS) can add up to one CHUNK of
+    padding per nonempty tile on top."""
+    cap = max(n, 1) * tiles_x * tiles_y
+    if config.ALIGN_SEGMENTS:
+        from .pallas_kernel import CHUNK
+        cap += min(tiles_x * tiles_y, 2 * max(n, 1)) * CHUNK
+    return cap
+
+
 def default_key_buffer_size(n: int, tiles_x: int, tiles_y: int) -> int:
     """Heuristic static key-buffer size (callers may override/regrow)."""
     base = int(min(max(6 * n, 2048), max(n, 1) * tiles_x * tiles_y))

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..dataset.camera import Camera
 from ..ops.ssim import ssim
-from ..ops.rasterize.tiled import default_key_buffer_size
+from ..ops.rasterize.tiled import default_key_buffer_size, max_key_buffer
 from ..utils.math import l1_loss
 from ..utils.schedule import get_expon_lr_func
 from . import functional as F
@@ -229,13 +229,15 @@ class BaseTrainer(AbstractTrainer):
             self._key_buffer_size[hw] = max(
                 base, self.key_buffer_factor * self.capacity)
         return min(self._key_buffer_size[hw],
-                   max(self.capacity, 1) * tiles_x * tiles_y)
+                   max_key_buffer(self.capacity, tiles_x, tiles_y))
 
     def grow_key_buffer(self, camera: Camera):
         hw = (camera.image_height, camera.image_width)
-        tiles = (-(-camera.image_width // 16)) * (-(-camera.image_height // 16))
-        self._key_buffer_size[hw] = min(self.key_buffer_for(camera) * 2,
-                                        max(self.capacity, 1) * tiles)
+        tiles_x = -(-camera.image_width // 16)
+        tiles_y = -(-camera.image_height // 16)
+        self._key_buffer_size[hw] = min(
+            self.key_buffer_for(camera) * 2,
+            max_key_buffer(self.capacity, tiles_x, tiles_y))
 
     def shrink_key_buffer(self, camera: Camera, max_rendered: int):
         """Adapt the static entry buffer down toward observed usage.

@@ -53,11 +53,10 @@ def main():
     num_tiles = tiles_x * tiles_y
     align = pk.CHUNK if config.ALIGN_SEGMENTS else 0
 
-    shs = jnp.concatenate([params["features_dc"], params["features_rest"]],
-                          axis=1)
-    pre = common.preprocess(params["xyz"], params["opacity"][:, 0],
-                            params["scaling"], params["rotation"], shs,
-                            settings)
+    # render_array_args applies the activations (exp scales, normalized
+    # quats, degree-masked SH) exactly like model.render does.
+    pre = common.preprocess(
+        *model.render_array_args(params, model.aux_state()), settings)
 
     # Pick K the way a settled trainer would: probe slots at a generous K,
     # then re-bin at the 1.15x tier.
@@ -69,9 +68,9 @@ def main():
                              align_chunk=align)
     slots = int(ent["total_slots"])
     K = 2048
-    while K < int(1.15 * slots):
+    while K < int(1.15 * slots) and K < K0:
         K = -(-int(K * 1.15) // 2048) * 2048
-    K = -(-K // pk.CHUNK) * pk.CHUNK
+    K = min(-(-K // pk.CHUNK) * pk.CHUNK, K0)
     ent = tiled.bin_and_sort(pre.rect_min, pre.rect_max, pre.tiles_touched,
                              pre.depths, tiles_x=tiles_x, tiles_y=tiles_y,
                              tile_row_offset=jnp.int32(0), K=K,
