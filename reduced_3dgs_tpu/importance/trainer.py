@@ -212,6 +212,12 @@ class ImportancePruner(DensifierWrapper):
             ret = ret.merge_remove(remove_mask)
         return ret
 
+    def fires_at(self, step: int) -> bool:
+        return ((self.importance_prune_from_iter <= step
+                 <= self.importance_prune_until_iter
+                 and step % self.importance_prune_interval == 0)
+                or super().fires_at(step))
+
 
 def ImportancePruningDensifierWrapper(
         base_densifier_constructor: Callable[..., AbstractDensifier],

@@ -281,6 +281,16 @@ class ShardedTrainer(Trainer):
 
         return step_fn
 
+    def update_many(self, outer, cameras):
+        """Sharded engines run the audited per-step path (each item may
+        itself be a per-data-rank camera list); window fusion is a
+        single-chip dispatch-amortization so far."""
+        losses = []
+        for camera in cameras:
+            loss, out = self.update(outer, camera)
+            losses.append(loss)
+        return losses, {"loss": losses}
+
     def update(self, outer, cameras):
         """One DPxSP step.
 

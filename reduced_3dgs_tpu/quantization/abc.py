@@ -57,3 +57,11 @@ class QuantizeTrainerWrapper(TrainerWrapper):
                 model, update_codebook=True)
             return self.quantizer.dequantize(model, ids_dict, codebook_dict)
         return self.base_trainer.model
+
+    def fires_at(self, step: int) -> bool:
+        # The model-property hook fires when a step STARTS with curr_step
+        # at a quantize boundary — the same interior-step set that
+        # AbstractTrainer.max_window excludes.
+        return ((self.quantize_from_iter <= step <= self.quantize_until_iter
+                 and step % self.quantize_interval == 0)
+                or super().fires_at(step))

@@ -115,6 +115,9 @@ class SHCuller(TrainerWrapper):
                           mesh=getattr(self.engine, "mesh", None))
         return ret
 
+    def fires_at(self, step: int) -> bool:
+        return step in self.cull_at_steps or super().fires_at(step)
+
 
 def SHCullingTrainerWrapper(base_trainer_constructor,
                             model: VariableSHGaussianModel,

@@ -63,7 +63,7 @@ def training(dataset, gaussians: GaussianModel, trainer: AbstractTrainer,
              empty_cache_every_step: bool = False, log_interval: int = 10):
     del empty_cache_every_step  # XLA manages memory; flag kept for CLI parity
     shutil.rmtree(os.path.join(destination, "point_cloud"), ignore_errors=True)
-    pbar = tqdm(range(1, iteration + 1), dynamic_ncols=True, desc="Training")
+    pbar = tqdm(total=iteration, dynamic_ncols=True, desc="Training")
     epoch = list(range(len(dataset)))
     epoch_psnr, epoch_maskpsnr = [], []
     ema_loss, avg_psnr, avg_maskpsnr = 0.0, 0.0, 0.0
@@ -84,35 +84,73 @@ def training(dataset, gaussians: GaussianModel, trainer: AbstractTrainer,
     n_data = int(mesh.shape["data"]) if mesh is not None else 1
     cursor = 0
 
-    for step in pbar:
-        epoch_idx = step % len(dataset)
-        if epoch_idx == 0:
-            # float() only at epoch boundaries — the per-step metrics stay
-            # device-side so the host never blocks on an in-flight step.
+    # Fused multi-step windows (single-chip): up to `window_max` steps run
+    # as ONE jitted program (AbstractTrainer.step_many), amortizing per-call
+    # dispatch over the remote-TPU tunnel; windows stop at every hook /
+    # schedule / epoch / save boundary so event semantics are identical to
+    # the per-step loop (tests/test_step_many.py).
+    window_max = (int(os.environ.get("R3DGS_WINDOW", 16))
+                  if n_data == 1 else 1)
+
+    step = 1
+    while step <= iteration:
+        pos = (step - 1) % len(dataset)     # 0-based position in the epoch
+        if pos == 0:
             avg_psnr = (float(np.mean([float(x) for x in epoch_psnr]))
                         if epoch_psnr else 0.0)
             avg_maskpsnr = (float(np.mean([float(x) for x in epoch_maskpsnr]))
                             if epoch_maskpsnr else 0.0)
             epoch_psnr, epoch_maskpsnr = [], []
             random.shuffle(epoch)
+
+        # Window size: fused steps may not cross a hook/schedule boundary,
+        # an epoch boundary (shuffle), a save iteration, or the end.
+        k = trainer.max_window(window_max) if window_max > 1 else 1
+        k = min(k, len(dataset) - pos, iteration - step + 1)
+        for s in save_iterations:
+            if step <= s <= step + k - 1:
+                k = s - step + 1
+        next_log = log_interval - (step - 1) % log_interval
+        camera = None
+
         if n_data > 1:
             cams = [dataset[epoch[(cursor + j) % len(epoch)]]
                     for j in range(n_data)]
             cursor = (cursor + n_data) % len(epoch)
             camera = cams[0]
             loss, out = trainer.step(cams)
-        else:
-            idx = epoch[epoch_idx]
-            camera = dataset[idx]
+            losses = [loss]
+            k = 1
+            gt = camera.ground_truth_image
+            if gt is not None:
+                epoch_psnr.append(psnr(out["render"], gt).mean())
+                if camera.ground_truth_image_mask is not None:
+                    m = camera.ground_truth_image_mask
+                    epoch_maskpsnr.append(psnr(out["render"] * m,
+                                               gt * m).mean())
+        elif k == 1:
+            camera = dataset[epoch[pos]]
             loss, out = trainer.step(camera)
-        gt = camera.ground_truth_image
-        if gt is not None:
-            epoch_psnr.append(psnr(out["render"], gt).mean())
-            if camera.ground_truth_image_mask is not None:
-                m = camera.ground_truth_image_mask
-                epoch_maskpsnr.append(psnr(out["render"] * m, gt * m).mean())
-        ema_loss = 0.4 * loss + 0.6 * ema_loss
-        if step % log_interval == 0:
+            losses = [loss]
+            gt = camera.ground_truth_image
+            if gt is not None:
+                epoch_psnr.append(psnr(out["render"], gt).mean())
+                if camera.ground_truth_image_mask is not None:
+                    m = camera.ground_truth_image_mask
+                    epoch_maskpsnr.append(psnr(out["render"] * m,
+                                               gt * m).mean())
+        else:
+            cams = [dataset[epoch[pos + j]] for j in range(k)]
+            camera = cams[-1]
+            losses, ys = trainer.step_many(cams)
+            if "psnr" in ys:
+                epoch_psnr.extend(ys["psnr"][i] for i in range(k))
+            if "masked_psnr" in ys:
+                epoch_maskpsnr.extend(ys["masked_psnr"][i] for i in range(k))
+
+        for loss_i in losses:
+            ema_loss = 0.4 * loss_i + 0.6 * ema_loss
+        if next_log <= k:
             loss_now = float(ema_loss)
             if not np.isfinite(loss_now):
                 # Reference-style failure dump (the CUDA rasterizer pickles
@@ -131,8 +169,12 @@ def training(dataset, gaussians: GaussianModel, trainer: AbstractTrainer,
             if avg_maskpsnr > 0:
                 postfix["masked psnr"] = avg_maskpsnr
             pbar.set_postfix(postfix)
-        if step in save_iterations:
-            save(step)
+        last = step + k - 1
+        if last in save_iterations:
+            save(last)
+        step += k
+        pbar.update(k)
+    pbar.close()
     save(iteration)
 
 

@@ -72,6 +72,45 @@ class AbstractTrainer(abc.ABC):
         self.optim_step()
         return loss, out
 
+    # ------------------------------------------------- fused window stepping
+    def fires_at(self, step: int) -> bool:
+        """Would this wrapper's hooks (optim_step / model-property) do REAL
+        work when fired with curr_step == `step`? Window batching
+        (step_many) fuses k steps into one jitted program and fires the
+        hook chain only at the window's final step, so a window may not
+        contain an interior step where this returns True. Wrappers that
+        override optim_step (or hook the model property) MUST override this
+        to report their cadence, or the conservative default disables
+        batching across them. The base AbstractTrainer has no hooks."""
+        return False
+
+    def max_window(self, k_max: int) -> int:
+        """Largest k <= k_max such that fusing steps
+        [curr_step+1, curr_step+k] fires no interior hook and crosses no
+        engine schedule boundary (the final step's hooks fire normally)."""
+        t0 = self.curr_step
+        engine = self.engine
+        k = 1
+        while (k < k_max and not self.fires_at(t0 + k)
+               and not engine.advances_at(t0 + k)):
+            k += 1
+        return k
+
+    def step_many(self, cameras) -> Tuple:
+        """Fused multi-step window: run len(cameras) steps as ONE jitted
+        program (engine.update_many), then fire the hook chain once at the
+        window's final step. The caller sizes the window with max_window()
+        so no interior step needed a hook. Returns (losses, ys) where
+        losses is a length-k list of per-step device scalars and ys holds
+        stacked per-step metrics (loss, and psnr/masked_psnr when the
+        cameras carry ground truth)."""
+        model = self.model  # property access — quantize wrappers hook here
+        del model
+        losses, ys = self.engine.update_many(self, cameras)
+        self._last_step_io = (losses[-1], None, cameras[-1])
+        self.optim_step()
+        return losses, ys
+
     # convenience used by hook implementations
     @property
     def last_step_io(self):
@@ -111,3 +150,15 @@ class TrainerWrapper(AbstractTrainer):
 
     def optim_step(self):
         return self.base_trainer.optim_step()
+
+    def fires_at(self, step: int) -> bool:
+        # Safe-by-construction: a wrapper subclass that overrides a hook
+        # surface (optim_step or the model property) without declaring its
+        # cadence via fires_at disables window batching across itself —
+        # correctness over speed for third-party wrappers.
+        cls = type(self)
+        own_hooks = (cls.optim_step is not TrainerWrapper.optim_step
+                     or cls.model is not TrainerWrapper.model)
+        if own_hooks and cls.fires_at is TrainerWrapper.fires_at:
+            return True
+        return self.base_trainer.fires_at(step)

@@ -220,6 +220,129 @@ class BaseTrainer(AbstractTrainer):
 
         return step_fn
 
+    def _build_step_many_fn(self, loss_fn, key_buffer: int, k: int,
+                            with_psnr: bool, with_mask: bool):
+        """k full training steps fused into ONE jitted program via lax.scan.
+
+        Amortizes every per-call cost (dispatch over the remote TPU tunnel,
+        program launch, input marshaling) across k steps — the reference
+        pays a kernel-launch sequence per step (rasterizer_impl.cu:359-504)
+        but its host loop is local; over a remote tunnel the per-call cost
+        is the single largest step component (PROFILE_r02), so fusing the
+        loop is the TPU-native answer. Per-step logging metrics (loss, and
+        PSNR when the cameras carry ground truth) are computed IN-graph and
+        returned stacked; overflow/num_rendered are reduced over the window
+        (the trainer's lazy key-buffer management only needs any/max)."""
+        model = self.model
+
+        @functools.partial(jax.jit, donate_argnums=(
+            () if os.environ.get("R3DGS_NO_DONATE") == "1"
+            else (0, 2, 3, 4, 5)))
+        def steps_fn(params, aux, adam, xyz_accum, denom, max_radii,
+                     cameras, n_alive, extras):
+            c = params["xyz"].shape[0]
+            alive = F.alive_mask(c, n_alive)
+
+            def body(carry, camera):
+                params, adam, xyz_accum, denom, max_radii = carry
+                offset0 = jnp.zeros((c, 2), jnp.float32)
+                ex = dict(extras)
+                ex["step"] = adam.count
+
+                def lf(diff):
+                    p, off = diff
+                    out = model.render(p, camera, aux=aux, alive=alive,
+                                       mean2d_offset_ndc=off,
+                                       key_buffer_size=key_buffer)
+                    return loss_fn(p, aux, out, camera, ex), out
+
+                (loss, out), grads = jax.value_and_grad(lf, has_aux=True)(
+                    (params, offset0))
+                gparams, goff = grads
+                gparams = F.mask_rows(gparams, alive)
+                lr_tree = dict(self.lr_tree(params))
+                lr_tree["xyz"] = self.xyz_lr_traced(adam.count)
+                new_params, new_adam = adam_update(params, gparams, adam,
+                                                   lr_tree)
+                radii = out["radii"]
+                visible = (radii > 0) & alive
+                vs_norm = jnp.linalg.norm(goff, axis=-1)
+                xyz_accum = xyz_accum + jnp.where(visible, vs_norm, 0.0)
+                denom = denom + visible.astype(jnp.int32)
+                max_radii = jnp.maximum(max_radii, jnp.where(visible, radii, 0))
+
+                ys = {"loss": loss,
+                      "overflow": out.get("overflow", jnp.bool_(False)),
+                      "num_rendered": out.get("num_rendered", jnp.int32(0))}
+                if with_psnr:
+                    render = out["render"]
+                    gt = camera.ground_truth_image
+                    mse = jnp.mean((render - gt) ** 2)
+                    ys["psnr"] = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+                    if with_mask:
+                        m = camera.ground_truth_image_mask
+                        mmse = jnp.mean((render * m - gt * m) ** 2)
+                        ys["masked_psnr"] = -10.0 * jnp.log10(
+                            jnp.maximum(mmse, 1e-12))
+                return (new_params, new_adam, xyz_accum, denom,
+                        max_radii), ys
+
+            carry0 = (params, adam, xyz_accum, denom, max_radii)
+            carry, ys = jax.lax.scan(body, carry0, cameras)
+            window = {"overflow": jnp.any(ys["overflow"]),
+                      "num_rendered": jnp.max(ys["num_rendered"])}
+            return carry, ys, window
+
+        return steps_fn
+
+    def update_many(self, outer: AbstractTrainer, cameras):
+        """Run len(cameras) fused steps (no hook may fire mid-window — the
+        caller guarantees it via AbstractTrainer.fires_between). Returns
+        (losses [k], ys dict of per-step stacked metrics)."""
+        k = len(cameras)
+        if k == 1 or outer.camera_adjustment(cameras[0]) is not None:
+            # Trainable cameras thread per-camera grads through the host;
+            # keep them on the audited single-step path.
+            losses = []
+            for camera in cameras:
+                loss, out = self.update(outer, camera)
+                losses.append(loss)
+            return losses, {"loss": losses}
+        self.maybe_advance_schedules()
+        loss_fn = outer.loss_pure()
+        cam0 = cameras[0]
+        key_buffer = self.key_buffer_for(cam0)
+        with_psnr = cam0.ground_truth_image is not None
+        with_mask = with_psnr and cam0.ground_truth_image_mask is not None
+        key = ("many", k, with_psnr, with_mask,
+               self._cache_key(cam0, loss_fn, key_buffer, None))
+        if key not in self._step_fns:
+            self._step_fns[key] = self._build_step_many_fn(
+                loss_fn, key_buffer, k, with_psnr, with_mask)
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cameras)
+        carry, ys, window = self._step_fns[key](
+            self.model.parameters(), self.model.aux_state(), self.adam,
+            self.xyz_grad_accum, self.xyz_grad_denom, self.max_radii2d,
+            stacked, self.n_alive, outer.loss_scalars())
+        (new_params, new_adam, xyz_accum, denom, max_radii) = carry
+        self.model.set_parameters(new_params)
+        self.adam = new_adam
+        self.xyz_grad_accum, self.xyz_grad_denom = xyz_accum, denom
+        self.max_radii2d = max_radii
+        self._curr_step += k
+        out_last = {"overflow": window["overflow"],
+                    "num_rendered": window["num_rendered"]}
+        self._note_overflow(out_last, cameras[-1], steps=k)
+        losses = [ys["loss"][i] for i in range(k)]
+        self._last_step_io_engine = (losses[-1], out_last, cameras[-1])
+        return losses, ys
+
+    def advances_at(self, step: int) -> bool:
+        """Would maybe_advance_schedules do anything at the START of
+        `step`? (Window-batching boundary protocol — see
+        AbstractTrainer.fires_between.)"""
+        return False
+
     def key_buffer_for(self, camera: Camera) -> int:
         tiles_x = -(-camera.image_width // 16)
         tiles_y = -(-camera.image_height // 16)
@@ -259,7 +382,7 @@ class BaseTrainer(AbstractTrainer):
         if desired < cur and int(desired * 1.15) <= cur:
             self._key_buffer_size[hw] = desired
 
-    def _note_overflow(self, out, camera):
+    def _note_overflow(self, out, camera, steps: int = 1):
         """Lazy key-buffer management, shared by single-chip and sharded.
 
         Runs in arrears, several steps late: reading the flags of the step
@@ -279,12 +402,13 @@ class BaseTrainer(AbstractTrainer):
         if backlog is None:
             backlog = self._overflow_backlog = []
         backlog.append((out["overflow"],
-                        out.get("num_rendered", jnp.int32(0)), camera))
-        if len(backlog) >= 64:
+                        out.get("num_rendered", jnp.int32(0)), camera,
+                        steps))
+        if sum(b[3] for b in backlog) >= 64:
             # One stacked transfer: each individual scalar fetch is a
             # full round trip over the remote TPU tunnel (~25 ms).
-            flags = np.asarray(jnp.stack([f for f, _, _ in backlog]))
-            rendered = np.asarray(jnp.stack([r for _, r, _ in backlog]))
+            flags = np.asarray(jnp.stack([b[0] for b in backlog]))
+            rendered = np.asarray(jnp.stack([b[1] for b in backlog]))
             if flags.any():
                 self.grow_key_buffer(backlog[int(flags.argmax())][2])
                 # No shrinking for a few drain windows after a grow:
@@ -432,3 +556,7 @@ class Trainer(BaseTrainer):
                 and self._curr_step % self.sh_degree_up_interval == 0
                 and self.model.active_sh_degree < self.model.max_sh_degree):
             self.model.active_sh_degree += 1
+
+    def advances_at(self, step: int) -> bool:
+        return (step > 0 and step % self.sh_degree_up_interval == 0
+                and self.model.active_sh_degree < self.model.max_sh_degree)

@@ -70,12 +70,22 @@ class AbstractDensifier(abc.ABC):
     def densify_and_prune(self, loss, out, camera, step: int) -> DensificationInstruction:
         ...
 
+    def fires_at(self, step: int) -> bool:
+        """Would densify_and_prune do real work at `step`? Window batching
+        (AbstractTrainer.step_many) fires the densifier chain only at
+        window-final steps; unknown densifiers conservatively disable
+        batching."""
+        return True
+
 
 class NoopDensifier(AbstractDensifier):
     """Chain terminator (reference NoopDensifier)."""
 
     def densify_and_prune(self, loss, out, camera, step: int) -> DensificationInstruction:
         return DensificationInstruction()
+
+    def fires_at(self, step: int) -> bool:
+        return False
 
 
 class DensifierWrapper(AbstractDensifier):
@@ -90,6 +100,16 @@ class DensifierWrapper(AbstractDensifier):
 
     def densify_and_prune(self, loss, out, camera, step: int) -> DensificationInstruction:
         return self.base_densifier.densify_and_prune(loss, out, camera, step)
+
+    def fires_at(self, step: int) -> bool:
+        # Safe-by-construction (same protocol as TrainerWrapper.fires_at):
+        # a subclass overriding densify_and_prune without declaring its
+        # cadence disables window batching.
+        cls = type(self)
+        if (cls.densify_and_prune is not DensifierWrapper.densify_and_prune
+                and cls.fires_at is DensifierWrapper.fires_at):
+            return True
+        return self.base_densifier.fires_at(step)
 
 
 def _inject_trainer(densifier: AbstractDensifier, trainer: AbstractTrainer):
@@ -119,6 +139,9 @@ class DensificationTrainer(TrainerWrapper):
             loss, out, camera, self.curr_step)
         self.apply_instruction(instruction)
         return ret
+
+    def fires_at(self, step: int) -> bool:
+        return self.densifier.fires_at(step) or super().fires_at(step)
 
     def apply_instruction(self, instruction: DensificationInstruction):
         if (instruction.new_points is None and instruction.remove_mask is None

@@ -67,6 +67,11 @@ class OpacityPruner(DensifierWrapper):
             ret = ret.merge_remove(self.prune())
         return ret
 
+    def fires_at(self, step: int) -> bool:
+        return ((self.prune_from_iter <= step <= self.prune_until_iter
+                 and step % self.prune_interval == 0)
+                or super().fires_at(step))
+
 
 def OpacityPrunerDensifierWrapper(
         base_densifier_constructor: Callable[..., AbstractDensifier],

@@ -127,6 +127,11 @@ class SplitCloneDensifier(DensifierWrapper):
                                         self.densify_n_split))
         return ret.merge_remove(split_sel)
 
+    def fires_at(self, step: int) -> bool:
+        return ((self.densify_from_iter <= step <= self.densify_until_iter
+                 and step % self.densify_interval == 0)
+                or super().fires_at(step))
+
 
 def SplitCloneDensifierWrapper(
         base_densifier_constructor: Callable[..., AbstractDensifier],

@@ -56,6 +56,11 @@ class OpacityResetter(TrainerWrapper):
             engine.adam = AdamState(count=adam.count, m=m, v=v)
         return ret
 
+    def fires_at(self, step: int) -> bool:
+        return ((step % self.opacity_reset_interval == 0
+                 and 0 < step <= self.opacity_reset_until_iter)
+                or super().fires_at(step))
+
 
 def OpacityResetTrainerWrapper(base_trainer_constructor, model, dataset,
                                opacity_reset_interval: int = 3000,

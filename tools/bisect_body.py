@@ -182,6 +182,40 @@ def main():
         new_params, new_adam = adam_update(p0, gparams, adam, lr_tree)
         return carry + tree_sum(new_params) * 0 + tree_sum(new_adam.m) * 0
 
+    def v_full_scan(carry, params, adam, k: int = 4):
+        # The discriminator for per-CALL overhead: k full bodies fused into
+        # one program via lax.scan. If the per-step cost collapses toward
+        # grad(base)+eps, the 33 ms is per-call (dispatch/fixed); if it
+        # stays, it is genuinely inside the compiled body.
+        def body(c2, _):
+            p0, alive, loss, out, grads = grads_of(params, c2)
+            gparams, goff = grads
+            gparams = F.mask_rows(gparams, alive)
+            lr_tree = dict(trainer.lr_tree(p0))
+            lr_tree["xyz"] = trainer.xyz_lr_traced(adam.count)
+            new_params, new_adam = adam_update(p0, gparams, adam, lr_tree)
+            radii = out["radii"]
+            visible = (radii > 0) & alive
+            vs_norm = jnp.linalg.norm(goff, axis=-1)
+            acc = jnp.where(visible, vs_norm, 0.0)
+            return (c2 + loss * 0 + tree_sum(new_params) * 0
+                    + tree_sum(new_adam.m) * 0 + tree_sum(acc) * 0), None
+        c_out, _ = jax.lax.scan(body, carry, None, length=k)
+        return c_out
+
+    def v_adam_goffnorm(carry, params, adam):
+        # adam + the accum WITHOUT consuming out["radii"] (tests whether the
+        # radii consumption forces a second live path through preprocess)
+        p0, alive, loss, out, grads = grads_of(params, carry)
+        gparams, goff = grads
+        gparams = F.mask_rows(gparams, alive)
+        lr_tree = dict(trainer.lr_tree(p0))
+        lr_tree["xyz"] = trainer.xyz_lr_traced(adam.count)
+        new_params, new_adam = adam_update(p0, gparams, adam, lr_tree)
+        vs_norm = jnp.linalg.norm(goff, axis=-1)
+        return (carry + loss * 0 + tree_sum(new_params) * 0
+                + tree_sum(new_adam.m) * 0 + jnp.sum(vs_norm) * 0)
+
     variants = [
         ("grad(base)", v_grad),
         ("+mask_rows", v_mask),
@@ -189,12 +223,24 @@ def main():
         ("+adam(drop unused)", v_adam_notree),
         ("+accum(no adam)", v_accum),
         ("full body", v_full),
+        ("full body scan(k=4) /step",
+         lambda c, p, a: v_full_scan(c, p, a, 4)),
         ("adam alone (no render)", v_adam_alone),
+        ("adam+goffnorm (no radii)", v_adam_goffnorm),
     ]
     results = {}
+    only = os.environ.get("BISECT_ONLY")
+    pats = only.split(",") if only else None
     for name, fn in variants:
+        if pats and not any(p in name for p in pats):
+            continue
         jfn = jax.jit(fn)
-        ms = time_chained(jfn, (params, adam), args_cli.steps)
+        steps = args_cli.steps
+        if "scan" in name:
+            steps = max(args_cli.steps // 4, 5)
+        ms = time_chained(jfn, (params, adam), steps)
+        if "scan(k=4)" in name:
+            ms /= 4.0
         results[name] = round(ms, 3)
         print(f"{name:28s} {ms:8.3f} ms", file=sys.stderr)
 
