@@ -75,8 +75,13 @@ class GaussianModel:
 
     @property
     def get_rotation(self):
-        n = jnp.linalg.norm(self._rotation, axis=-1, keepdims=True)
-        return self._rotation / jnp.maximum(n, 1e-12)
+        # Double-where on the squared norm: maximum(|q|, eps) still yields
+        # NaN GRADIENTS at q = 0 (0-selector times d|q|/dq = 0 * NaN) on
+        # dead capacity-padding rows; grads must stay finite there because
+        # the trainer masks them by multiply (functional.mask_rows).
+        sq = jnp.sum(self._rotation * self._rotation, axis=-1, keepdims=True)
+        sq = jnp.where(sq < 1e-24, 1.0, sq)
+        return self._rotation / jnp.sqrt(sq)
 
     @property
     def get_opacity(self):
@@ -208,7 +213,11 @@ class GaussianModel:
 
     def render_array_args(self, params: Dict[str, jnp.ndarray], aux=None):
         rot = params["rotation"]
-        rot = rot / jnp.maximum(jnp.linalg.norm(rot, axis=-1, keepdims=True), 1e-12)
+        # Double-where on the squared norm (same rationale as get_rotation):
+        # dead zero rows must yield FINITE rotation grads for the
+        # multiply-masking in functional.mask_rows.
+        sq = jnp.sum(rot * rot, axis=-1, keepdims=True)
+        rot = rot / jnp.sqrt(jnp.where(sq < 1e-24, 1.0, sq))
         return (params["xyz"], params["opacity"],
                 self.scaling_activation(params["scaling"]), rot,
                 self.masked_features(params, aux))

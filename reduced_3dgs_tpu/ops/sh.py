@@ -108,15 +108,17 @@ def eval_sh(shs: jnp.ndarray, dirs: jnp.ndarray, degree: int = MAX_SH_DEGREE,
 def normalize_dirs(vecs: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """Normalise direction vectors (reference forward.cu:111-112).
 
-    The eps floor only binds for zero-length inputs — dead padded slots
-    whose xyz coincides with the camera center. Their 0/0 would otherwise
-    NaN the forward and (through the shared campos input) poison camera
-    gradients in trainable-camera modes; real visible Gaussians are at
-    least NEAR_CULL_Z away from the camera so the floor never binds."""
-    norm = jnp.linalg.norm(vecs, axis=-1, keepdims=True)
+    The guard only binds for zero-length inputs — dead padded slots whose
+    xyz coincides with the camera center. Double-where on the SQUARED norm
+    (not maximum(norm, eps)): d|v|/dv at v=0 is NaN, and maximum's zero
+    selector multiplies it as 0 * NaN = NaN, poisoning dead-row xyz grads
+    (and, through the shared campos input, camera gradients in
+    trainable-camera modes). Real visible Gaussians are at least
+    NEAR_CULL_Z from the camera so the guard never binds."""
+    sq = jnp.sum(vecs * vecs, axis=-1, keepdims=True)
     if eps:
-        norm = jnp.maximum(norm, eps)
-    return vecs / norm
+        sq = jnp.where(sq < eps * eps, 1.0, sq)
+    return vecs / jnp.sqrt(sq)
 
 
 def degree_coeff_mask(degrees: jnp.ndarray, max_degree: int = MAX_SH_DEGREE) -> jnp.ndarray:

@@ -51,14 +51,22 @@ def alive_mask(capacity: int, n_alive) -> jnp.ndarray:
 def mask_rows(tree: Any, keep: jnp.ndarray) -> Any:
     """Zero rows where keep is False.
 
-    Uses `where` (not multiply) so NaN/inf garbage in dead rows — e.g.
-    gradients of normalize-at-zero on padded slots — is cleanly discarded.
+    MULTIPLY by a 0/1 mask, not `where`: the where-mask of all six
+    gradient leaves compiles ~24 ms/step slower on v5e (measured,
+    tools/bisect_mask.py: where-all 70.3 ms vs multiply-all 46.8 ms vs
+    any single-leaf where 46.7 ms — the pathology needs every leaf
+    where-masked against the shared bool vector). Multiply requires the
+    masked values to be FINITE on dead rows; that is guaranteed by the
+    eps/double-where hardening of the forward (projection.project_points
+    w+1e-7, invert_cov2d double-where, build_cov2d tz gate,
+    GaussianModel.get_rotation eps norm, sh.normalize_dirs eps) and
+    asserted by tests/test_step_many.py::test_dead_row_grads_finite.
     """
     def f(a):
         if a.ndim == 0:
             return a
         shape = (keep.shape[0],) + (1,) * (a.ndim - 1)
-        return jnp.where(keep.reshape(shape), a, jnp.zeros_like(a))
+        return a * keep.reshape(shape).astype(a.dtype)
     return jax.tree.map(f, tree)
 
 

@@ -130,6 +130,41 @@ def test_step_many_windows_replicate_flagship_run():
             == t_seq.engine.model.active_sh_degree)
 
 
+def test_dead_row_grads_finite():
+    """mask_rows multiplies (not `where`, which costs ~24 ms/step on v5e):
+    gradients on dead capacity-padding rows must therefore be FINITE before
+    masking — guaranteed by the eps/double-where hardening of the forward.
+    Exercised with the global loss terms (SH sparsity, scale reg) that give
+    dead rows nonzero-gradient paths."""
+    import reduced_3dgs_tpu.trainer.functional as F
+    from reduced_3dgs_tpu.trainer.extensions import ScaleRegularizer
+
+    model, ds = _scene(n=30)
+    trainer = BaseTrainer(model, ds, lambda_sh_sparsity=0.1)
+    outer = ScaleRegularizer(trainer)
+    assert trainer.capacity > model.num_points, "no dead rows to test"
+    cam = ds[0]
+    params = model.parameters()
+    aux = model.aux_state()
+    alive = F.alive_mask(trainer.capacity, trainer.n_alive)
+    loss_fn = outer.loss_pure()
+
+    def lf(p):
+        out = model.render(p, cam, aux=aux, alive=alive,
+                           key_buffer_size=1 << 14)
+        return loss_fn(p, aux, out, cam, {"step": jnp.int32(0)})
+
+    grads = jax.grad(lf)(params)
+    for k, g in grads.items():
+        assert bool(jnp.all(jnp.isfinite(g))), f"non-finite raw grads in {k}"
+    masked = F.mask_rows(grads, alive)
+    n = model.num_points
+    for k, g in masked.items():
+        dead = np.asarray(g)[n:]
+        assert np.all(dead == 0.0), f"mask left dead rows of {k} nonzero"
+        assert np.all(np.isfinite(np.asarray(g))), k
+
+
 def test_max_window_stops_at_boundaries():
     model, ds = _scene()
     trainer = Trainer(model, ds, sh_degree_up_interval=7)

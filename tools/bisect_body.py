@@ -91,6 +91,8 @@ def main():
     jax.block_until_ready(out["render"])
     K = trainer.key_buffer_for(cam)
     K = -(-K // pk.CHUNK) * pk.CHUNK
+    print(f"# K={K} num_rendered={int(out['num_rendered'])} "
+          f"capacity={trainer.capacity}", file=sys.stderr, flush=True)
 
     params = trainer.model.parameters()
     aux = trainer.model.aux_state()
