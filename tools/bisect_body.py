@@ -123,13 +123,13 @@ def main():
     # --- variants --------------------------------------------------------
     def v_grad(carry, params, adam):
         _, _, loss, out, grads = grads_of(params, carry)
-        return carry + loss * 0 + tree_sum(grads) * 0 + tree_sum(out["render"]) * 0
+        return carry + loss * 1e-38 + tree_sum(grads) * 1e-38 + tree_sum(out["render"]) * 1e-38
 
     def v_mask(carry, params, adam):
         _, alive, loss, out, grads = grads_of(params, carry)
         gparams, goff = grads
         gparams = F.mask_rows(gparams, alive)
-        return carry + loss * 0 + tree_sum(gparams) * 0 + tree_sum(out["render"]) * 0
+        return carry + loss * 1e-38 + tree_sum(gparams) * 1e-38 + tree_sum(out["render"]) * 1e-38
 
     def v_adam(carry, params, adam):
         p0, alive, loss, out, grads = grads_of(params, carry)
@@ -138,8 +138,8 @@ def main():
         lr_tree = dict(trainer.lr_tree(p0))
         lr_tree["xyz"] = trainer.xyz_lr_traced(adam.count)
         new_params, new_adam = adam_update(p0, gparams, adam, lr_tree)
-        return (carry + loss * 0 + tree_sum(new_params) * 0
-                + tree_sum(new_adam.m) * 0)
+        return (carry + loss * 1e-38 + tree_sum(new_params) * 1e-38
+                + tree_sum(new_adam.m) * 1e-38)
 
     def v_adam_notree(carry, params, adam):
         # Adam but consuming only one leaf of new_params (lets XLA drop the rest)
@@ -149,7 +149,7 @@ def main():
         lr_tree = dict(trainer.lr_tree(p0))
         lr_tree["xyz"] = trainer.xyz_lr_traced(adam.count)
         new_params, new_adam = adam_update(p0, gparams, adam, lr_tree)
-        return carry + loss * 0 + jnp.sum(new_params["xyz"]) * 0
+        return carry + loss * 1e-38 + jnp.sum(new_params["xyz"]) * 1e-38
 
     def v_accum(carry, params, adam):
         p0, alive, loss, out, grads = grads_of(params, carry)
@@ -158,8 +158,8 @@ def main():
         visible = (radii > 0) & alive
         vs_norm = jnp.linalg.norm(goff, axis=-1)
         acc = jnp.where(visible, vs_norm, 0.0)
-        return (carry + loss * 0 + tree_sum(gparams) * 0 + tree_sum(acc) * 0
-                + tree_sum(out["render"]) * 0)
+        return (carry + loss * 1e-38 + tree_sum(gparams) * 1e-38 + tree_sum(acc) * 1e-38
+                + tree_sum(out["render"]) * 1e-38)
 
     def v_full(carry, params, adam):
         p0, alive, loss, out, grads = grads_of(params, carry)
@@ -172,8 +172,8 @@ def main():
         visible = (radii > 0) & alive
         vs_norm = jnp.linalg.norm(goff, axis=-1)
         acc = jnp.where(visible, vs_norm, 0.0)
-        return (carry + loss * 0 + tree_sum(new_params) * 0
-                + tree_sum(new_adam.m) * 0 + tree_sum(acc) * 0)
+        return (carry + loss * 1e-38 + tree_sum(new_params) * 1e-38
+                + tree_sum(new_adam.m) * 1e-38 + tree_sum(acc) * 1e-38)
 
     def v_adam_alone(carry, params, adam):
         # Adam WITHOUT the renderer: grads = params*carry*1e-30 (fake)
@@ -182,7 +182,7 @@ def main():
         lr_tree = dict(trainer.lr_tree(p0))
         lr_tree["xyz"] = trainer.xyz_lr_traced(adam.count)
         new_params, new_adam = adam_update(p0, gparams, adam, lr_tree)
-        return carry + tree_sum(new_params) * 0 + tree_sum(new_adam.m) * 0
+        return carry + tree_sum(new_params) * 1e-38 + tree_sum(new_adam.m) * 1e-38
 
     def v_full_scan(carry, params, adam, k: int = 4):
         # The discriminator for per-CALL overhead: k full bodies fused into
@@ -200,8 +200,8 @@ def main():
             visible = (radii > 0) & alive
             vs_norm = jnp.linalg.norm(goff, axis=-1)
             acc = jnp.where(visible, vs_norm, 0.0)
-            return (c2 + loss * 0 + tree_sum(new_params) * 0
-                    + tree_sum(new_adam.m) * 0 + tree_sum(acc) * 0), None
+            return (c2 + loss * 1e-38 + tree_sum(new_params) * 1e-38
+                    + tree_sum(new_adam.m) * 1e-38 + tree_sum(acc) * 1e-38), None
         c_out, _ = jax.lax.scan(body, carry, None, length=k)
         return c_out
 
@@ -215,8 +215,8 @@ def main():
         lr_tree["xyz"] = trainer.xyz_lr_traced(adam.count)
         new_params, new_adam = adam_update(p0, gparams, adam, lr_tree)
         vs_norm = jnp.linalg.norm(goff, axis=-1)
-        return (carry + loss * 0 + tree_sum(new_params) * 0
-                + tree_sum(new_adam.m) * 0 + jnp.sum(vs_norm) * 0)
+        return (carry + loss * 1e-38 + tree_sum(new_params) * 1e-38
+                + tree_sum(new_adam.m) * 1e-38 + jnp.sum(vs_norm) * 1e-38)
 
     variants = [
         ("grad(base)", v_grad),

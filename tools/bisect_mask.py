@@ -113,7 +113,7 @@ def main():
         return alive, loss, grads
 
     def consume(carry, loss, g):
-        return carry + loss * 0 + tree_sum(g) * 0
+        return carry + loss * 1e-38 + tree_sum(g) * 1e-38
 
     def v_none(carry, params):
         _, loss, (gp, goff) = grads_of(params, carry)

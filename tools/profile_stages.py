@@ -127,7 +127,7 @@ def main():
             tanfovx=jnp.tan(camera.FoVx * 0.5),
             tanfovy=jnp.tan(camera.FoVy * 0.5),
             bg=camera.bg_color), alive=alive)
-        return tree_sum(pre) * 0 + carry + 1, pre
+        return tree_sum(pre) * 1e-38 + carry + 1, pre
 
     def mk_settings(camera):
         return settings._replace(
@@ -175,14 +175,14 @@ def main():
     def stage_emit(carry, params, aux, camera, n_alive, adam):
         carry, pre = stage_pre(carry, params, aux, camera, n_alive, adam)
         em = emission(pre)
-        return carry + tree_sum(em) * 0, (pre, em)
+        return carry + tree_sum(em) * 1e-38, (pre, em)
 
     def stage_sort(carry, params, aux, camera, n_alive, adam):
         carry, (pre, em) = stage_emit(carry, params, aux, camera, n_alive, adam)
         tile_id, depth_key, gidx, pos = em[:4]
         s_tile, _, s_gidx, s_pos = jax.lax.sort(
             (tile_id, depth_key, gidx, pos), num_keys=2)
-        return carry + tree_sum((s_tile, s_gidx, s_pos)) * 0, (pre, em,
+        return carry + tree_sum((s_tile, s_gidx, s_pos)) * 1e-38, (pre, em,
                                                                (s_tile, s_gidx, s_pos))
 
     def stage_ranges(carry, params, aux, camera, n_alive, adam):
@@ -193,7 +193,7 @@ def main():
             jnp.int32(0), K)
         inv_pos = pk.inverse_permutation(s_pos)
         steps = pk.step_layout(range_start, range_end, K, num_tiles)
-        return (carry + tree_sum((range_start, range_end, inv_pos, steps)) * 0,
+        return (carry + tree_sum((range_start, range_end, inv_pos, steps)) * 1e-38,
                 (pre, em, srt, range_start, range_end, inv_pos, steps))
 
     def stage_fwdkernel(carry, params, aux, camera, n_alive, adam):
@@ -203,14 +203,14 @@ def main():
         e_packed = jnp.take(pk.pack_fields(pre), s_gidx, axis=1)
         color4, final_t, latch = pk.tile_composite_fwd(
             e_packed, *steps, jnp.int32(0), tiles_x, num_tiles, False)
-        return carry + tree_sum((color4, final_t)) * 0, None
+        return carry + tree_sum((color4, final_t)) * 1e-38, None
 
     def stage_forward(carry, params, aux, camera, n_alive, adam):
         p = perturb(params, carry)
         alive = F.alive_mask(p["xyz"].shape[0], n_alive)
         out = model.render(p, camera, aux=aux, alive=alive,
                            key_buffer_size=K)
-        return carry + tree_sum(out["render"]) * 0, None
+        return carry + tree_sum(out["render"]) * 1e-38, None
 
     def stage_loss(carry, params, aux, camera, n_alive, adam):
         p = perturb(params, carry)
@@ -219,7 +219,7 @@ def main():
                            key_buffer_size=K)
         loss_fn = trainer.loss_pure()
         loss = loss_fn(p, aux, out, camera, {})
-        return carry + loss * 0, None
+        return carry + loss * 1e-38, None
 
     def stage_grad(carry, params, aux, camera, n_alive, adam):
         p0 = perturb(params, carry)
@@ -232,7 +232,7 @@ def main():
             return loss_fn(p, aux, out, camera, {})
 
         loss, grads = jax.value_and_grad(lf)(p0)
-        return carry + loss * 0 + tree_sum(grads) * 0, None
+        return carry + loss * 1e-38 + tree_sum(grads) * 1e-38, None
 
     def stage_sort_alt(carry, params, aux, camera, n_alive, adam):
         """Other sort flavor than config.SORT_MODE (same prefix as +sort)."""
@@ -249,7 +249,7 @@ def main():
                     | (dbits >> tile_bits))
             s_key, s_gidx, s_pos = jax.lax.sort((keyp, gidx, pos), num_keys=1)
             s_tile = (s_key >> depth_shift).astype(jnp.int32)
-        return carry + tree_sum((s_tile, s_gidx, s_pos)) * 0, None
+        return carry + tree_sum((s_tile, s_gidx, s_pos)) * 1e-38, None
 
     def stage_grad_offset(carry, params, aux, camera, n_alive, adam):
         """Like the real step: grads wrt (params, offset), has_aux out."""
@@ -266,8 +266,8 @@ def main():
             return loss_fn(p, aux, out, camera, {}), out
 
         (loss, out), grads = jax.value_and_grad(lf, has_aux=True)((p0, offset0))
-        return (carry + loss * 0 + tree_sum(grads) * 0
-                + tree_sum(out["render"]) * 0), None
+        return (carry + loss * 1e-38 + tree_sum(grads) * 1e-38
+                + tree_sum(out["render"]) * 1e-38), None
 
     def stage_full_body(carry, params, aux, camera, n_alive, adam):
         """The entire step_fn body (grads+adam+accums), minus donation."""
@@ -294,8 +294,8 @@ def main():
         visible = (radii > 0) & alive
         vs_norm = jnp.linalg.norm(goff, axis=-1)
         acc = jnp.where(visible, vs_norm, 0.0)
-        return (carry + loss * 0 + tree_sum(new_params) * 0
-                + tree_sum(new_adam.m) * 0 + tree_sum(acc) * 0), None
+        return (carry + loss * 1e-38 + tree_sum(new_params) * 1e-38
+                + tree_sum(new_adam.m) * 1e-38 + tree_sum(acc) * 1e-38), None
 
     def stage_binsort_real(carry, params, aux, camera, n_alive, adam):
         """The REAL bin_and_sort (incl. seg scans + stop_gradient), not the
@@ -307,7 +307,7 @@ def main():
                                  tiles_x=tiles_x, tiles_y=tiles_y,
                                  tile_row_offset=jnp.int32(0), K=K)
         return carry + tree_sum((ent["s_gidx"], ent["s_tile"],
-                                 ent["seg_start_pos"])) * 0, (pre, ent)
+                                 ent["seg_start_pos"])) * 1e-38, (pre, ent)
 
     def stage_kernel_real(carry, params, aux, camera, n_alive, adam):
         """Real path through composite_sorted (custom_vjp fwd), everything
@@ -322,7 +322,7 @@ def main():
             pk.pack_fields(pre), ent["s_gidx"], inv_pos, ent["offsets"],
             ent["counts"], ent["s_tile"], range_start, range_end,
             jnp.int32(0), tiles_x, num_tiles, False)
-        return carry + tree_sum((color4, final_t)) * 0, None
+        return carry + tree_sum((color4, final_t)) * 1e-38, None
 
     stages = [
         ("preprocess", stage_pre),
