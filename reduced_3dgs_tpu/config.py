@@ -46,7 +46,10 @@ SORT_MODE = _os.environ.get("R3DGS_SORT", "2key")
 # emission time (bin_and_sort align_chunk) so each kernel grid step covers
 # exactly one tile — removes all boundary double-work steps and the
 # sentinel walk (~40% of grid steps at bench scale) for ~1.4x buffer slots.
-ALIGN_SEGMENTS = _os.environ.get("R3DGS_ALIGN", "1") == "1"
+# Default OFF: the r03 on-chip sweep measured align1 neutral-to-slower at
+# bench scale (padding work ate the grid-step savings: 862,464 occupied
+# slots vs 622,048, key buffer 1,075,200 vs 811,008) — see SWEEP_r04.json.
+ALIGN_SEGMENTS = _os.environ.get("R3DGS_ALIGN", "0") == "1"
 
 # "gather": per-entry fields via one fused [rows, K] row gather.
 # "scan": one row scatter of per-Gaussian records at segment starts + a

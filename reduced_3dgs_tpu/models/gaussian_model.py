@@ -75,13 +75,15 @@ class GaussianModel:
 
     @property
     def get_rotation(self):
-        # Double-where on the squared norm: maximum(|q|, eps) still yields
-        # NaN GRADIENTS at q = 0 (0-selector times d|q|/dq = 0 * NaN) on
-        # dead capacity-padding rows; grads must stay finite there because
-        # the trainer masks them by multiply (functional.mask_rows).
+        # rsqrt(|q|^2 + eps): maximum(|q|, eps) yields NaN GRADIENTS at
+        # q = 0 (0-selector times d|q|/dq = 0 * NaN) on dead
+        # capacity-padding rows, and grads must stay finite there because
+        # the trainer masks them by multiply (functional.mask_rows). The
+        # additive-eps form has a finite gradient at q = 0 with no select
+        # in the hot path (the r03 double-where cost ~23 ms/step in the
+        # bench gradient, tools/bisect_body.py).
         sq = jnp.sum(self._rotation * self._rotation, axis=-1, keepdims=True)
-        sq = jnp.where(sq < 1e-24, 1.0, sq)
-        return self._rotation / jnp.sqrt(sq)
+        return self._rotation * jax.lax.rsqrt(sq + 1e-24)
 
     @property
     def get_opacity(self):
@@ -213,11 +215,12 @@ class GaussianModel:
 
     def render_array_args(self, params: Dict[str, jnp.ndarray], aux=None):
         rot = params["rotation"]
-        # Double-where on the squared norm (same rationale as get_rotation):
-        # dead zero rows must yield FINITE rotation grads for the
-        # multiply-masking in functional.mask_rows.
+        # rsqrt(|q|^2 + eps), same rationale as get_rotation: dead zero
+        # rows must yield FINITE rotation grads for the multiply-masking
+        # in functional.mask_rows, and the additive-eps form does so
+        # without the select that cost ~23 ms/step in r03.
         sq = jnp.sum(rot * rot, axis=-1, keepdims=True)
-        rot = rot / jnp.sqrt(jnp.where(sq < 1e-24, 1.0, sq))
+        rot = rot * jax.lax.rsqrt(sq + 1e-24)
         return (params["xyz"], params["opacity"],
                 self.scaling_activation(params["scaling"]), rot,
                 self.masked_features(params, aux))

@@ -75,7 +75,10 @@ BIG = 2 ** 30  # python int: jnp constants at module scope would be traced captu
 # accuracy on the MXU) — one matmul replaces the 8-level rotate ladder
 # (24 VPU ops) in the forward and BOTH ladders (48 ops) in the backward.
 # "ladder" keeps the shift-add ladder (exact linear-space products).
-SCAN_MODE = _os.environ.get("R3DGS_SCAN", "ladder")
+# Default "mxu": the r03 on-chip sweep measured mxu/align0 at 61.4 ms vs
+# ladder/align1 (the old default) at 69.9 ms on the 200k bench scene —
+# ~12% step win (SWEEP_r04.json re-measures and commits this).
+SCAN_MODE = _os.environ.get("R3DGS_SCAN", "mxu")
 
 
 def _tri_matrix():

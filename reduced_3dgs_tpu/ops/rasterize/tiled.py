@@ -57,8 +57,13 @@ def max_key_buffer(n: int, tiles_x: int, tiles_y: int) -> int:
     padding per nonempty tile on top."""
     cap = max(n, 1) * tiles_x * tiles_y
     if config.ALIGN_SEGMENTS:
+        # Padding bound: at most one CHUNK per NONEMPTY tile, and nonempty
+        # tiles <= num_tiles unconditionally (a former 2n bound was wrong:
+        # one huge Gaussian can touch every tile, ADVICE r03 — with tiles >
+        # 2n the cap was unsatisfiable and the renderer stayed in permanent
+        # overflow).
         from .pallas_kernel import CHUNK
-        cap += min(tiles_x * tiles_y, 2 * max(n, 1)) * CHUNK
+        cap += tiles_x * tiles_y * CHUNK
     return cap
 
 

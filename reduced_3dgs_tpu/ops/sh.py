@@ -13,6 +13,7 @@ the op fully SIMD. All functions are shape-polymorphic over leading axes.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 SH_C0 = 0.28209479177387814
@@ -109,16 +110,19 @@ def normalize_dirs(vecs: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """Normalise direction vectors (reference forward.cu:111-112).
 
     The guard only binds for zero-length inputs — dead padded slots whose
-    xyz coincides with the camera center. Double-where on the SQUARED norm
-    (not maximum(norm, eps)): d|v|/dv at v=0 is NaN, and maximum's zero
-    selector multiplies it as 0 * NaN = NaN, poisoning dead-row xyz grads
-    (and, through the shared campos input, camera gradients in
-    trainable-camera modes). Real visible Gaussians are at least
-    NEAR_CULL_Z from the camera so the guard never binds."""
+    xyz coincides with the camera center. rsqrt(|v|^2 + eps^2) instead of
+    maximum(norm, eps) or a where-guard: d[v*(v.v+c)^-1/2]/dv at v=0 is
+    c^-1/2 * I — FINITE — so dead-row xyz grads (and, through the shared
+    campos input, camera gradients in trainable-camera modes) stay finite
+    for the multiply-masking in trainer.functional.mask_rows, with no
+    select in the hot path (the r03 double-where formulation cost ~23
+    ms/step in the bench gradient, tools/bisect_body.py). Real visible
+    Gaussians are at least NEAR_CULL_Z from the camera so the eps^2 term
+    perturbs |v|^2 >= 0.04 by <= 1e-16 — below f32 resolution."""
     sq = jnp.sum(vecs * vecs, axis=-1, keepdims=True)
     if eps:
-        sq = jnp.where(sq < eps * eps, 1.0, sq)
-    return vecs / jnp.sqrt(sq)
+        sq = sq + eps * eps
+    return vecs * jax.lax.rsqrt(sq)
 
 
 def degree_coeff_mask(degrees: jnp.ndarray, max_degree: int = MAX_SH_DEGREE) -> jnp.ndarray:

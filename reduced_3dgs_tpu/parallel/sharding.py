@@ -286,10 +286,23 @@ class ShardedTrainer(Trainer):
         itself be a per-data-rank camera list); window fusion is a
         single-chip dispatch-amortization so far."""
         losses = []
+        ys = {}
         for camera in cameras:
             loss, out = self.update(outer, camera)
             losses.append(loss)
-        return losses, {"loss": losses}
+            # Per-epoch PSNR logging parity with the fused branch (ADVICE
+            # r03): out["render"] is rank 0's image; compare against that
+            # rank's GT when present.
+            cam0 = camera[0] if isinstance(camera, (list, tuple)) else camera
+            gt = getattr(cam0, "ground_truth_image", None)
+            if gt is not None and getattr(gt, "ndim", 0) == 3:
+                mse = jnp.mean((out["render"] - gt) ** 2)
+                ys.setdefault("psnr", []).append(
+                    -10.0 * jnp.log10(jnp.maximum(mse, 1e-12)))
+        if len(ys.get("psnr", ())) != len(cameras):
+            ys.pop("psnr", None)
+        ys["loss"] = losses
+        return losses, ys
 
     def update(self, outer, cameras):
         """One DPxSP step.

@@ -300,14 +300,38 @@ class BaseTrainer(AbstractTrainer):
         caller guarantees it via AbstractTrainer.fires_between). Returns
         (losses [k], ys dict of per-step stacked metrics)."""
         k = len(cameras)
-        if k == 1 or outer.camera_adjustment(cameras[0]) is not None:
+
+        def _static_sig(c):
+            # Fields that must agree across the window for jnp.stack /
+            # the scan body to be well-typed: resolution is a static
+            # pytree field and GT/mask may be None on some cameras (the
+            # reference loader supports per-image resolutions).
+            return (c.image_height, c.image_width,
+                    c.ground_truth_image is None,
+                    c.ground_truth_image is not None
+                    and c.ground_truth_image_mask is None)
+
+        homogeneous = all(_static_sig(c) == _static_sig(cameras[0])
+                          for c in cameras[1:])
+        if (k == 1 or not homogeneous
+                or outer.camera_adjustment(cameras[0]) is not None):
             # Trainable cameras thread per-camera grads through the host;
-            # keep them on the audited single-step path.
+            # keep them (and mixed-resolution / mixed-GT windows, which
+            # cannot stack) on the audited single-step path.
             losses = []
+            ys = {}
             for camera in cameras:
                 loss, out = self.update(outer, camera)
                 losses.append(loss)
-            return losses, {"loss": losses}
+                if camera.ground_truth_image is not None:
+                    gt = camera.ground_truth_image
+                    mse = jnp.mean((out["render"] - gt) ** 2)
+                    ys.setdefault("psnr", []).append(
+                        -10.0 * jnp.log10(jnp.maximum(mse, 1e-12)))
+            if len(ys.get("psnr", ())) != k:
+                ys.pop("psnr", None)  # train.py indexes ys["psnr"][0..k)
+            ys["loss"] = losses
+            return losses, ys
         self.maybe_advance_schedules()
         loss_fn = outer.loss_pure()
         cam0 = cameras[0]

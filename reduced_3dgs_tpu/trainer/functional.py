@@ -11,6 +11,7 @@ hence recompiles) happen only on rare capacity growth.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Tuple
 
 import jax
@@ -51,21 +52,35 @@ def alive_mask(capacity: int, n_alive) -> jnp.ndarray:
 def mask_rows(tree: Any, keep: jnp.ndarray) -> Any:
     """Zero rows where keep is False.
 
-    MULTIPLY by a 0/1 mask, not `where`: the where-mask of all six
-    gradient leaves compiles ~24 ms/step slower on v5e (measured,
-    tools/bisect_mask.py: where-all 70.3 ms vs multiply-all 46.8 ms vs
-    any single-leaf where 46.7 ms — the pathology needs every leaf
-    where-masked against the shared bool vector). Multiply requires the
-    masked values to be FINITE on dead rows; that is guaranteed by the
-    eps/double-where hardening of the forward (projection.project_points
-    w+1e-7, invert_cov2d double-where, build_cov2d tz gate,
-    GaussianModel.get_rotation eps norm, sh.normalize_dirs eps) and
-    asserted by tests/test_step_many.py::test_dead_row_grads_finite.
+    MULTIPLY by a 0/1 mask, not `where`: where-masking all six gradient
+    leaves against the shared bool vector compiled ~24 ms/step slower on
+    v5e (tools/bisect_mask.py, r03). Caveat from that round: the
+    double-where normalization hardening that originally enabled multiply
+    relocated the same ~23 ms into grad(base) itself — the select against
+    a shared vector is the pathological shape wherever it appears. The
+    forward therefore uses select-free additive-eps guards
+    (rsqrt(|v|^2 + eps^2)) so dead-row values stay FINITE with no where:
+    projection.project_points w+1e-7, build_cov2d tz gate,
+    GaussianModel.get_rotation / render_array_args rsqrt norm,
+    sh.normalize_dirs rsqrt (invert_cov2d keeps its double-where — it
+    guards a measure-zero det==0, not the shared alive vector). Finiteness
+    is asserted by tests/test_step_many.py::test_dead_row_grads_finite;
+    BISECT_r04.json re-measures grad(base) after the rsqrt fix.
+
+    Safety net (ADVICE r03): the multiply form turns any non-finite
+    dead-row gradient into NaN (0*inf) and silently NaNs parameters via
+    Adam; the invariant rests on every forward path keeping dead rows
+    finite. R3DGS_SAFE_MASK=1 switches back to the where form for
+    debugging a NaN'd run — slower, but discards dead-row garbage.
     """
+    safe = os.environ.get("R3DGS_SAFE_MASK", "0") == "1"
+
     def f(a):
         if a.ndim == 0:
             return a
         shape = (keep.shape[0],) + (1,) * (a.ndim - 1)
+        if safe:
+            return jnp.where(keep.reshape(shape), a, jnp.zeros_like(a))
         return a * keep.reshape(shape).astype(a.dtype)
     return jax.tree.map(f, tree)
 

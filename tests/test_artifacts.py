@@ -57,3 +57,29 @@ def test_multichip_dryrun_green():
     with open(path) as f:
         d = json.load(f)
     assert d.get("ok", d.get("parsed", {}).get("ok")) is True
+
+
+def test_perf_artifacts_committed():
+    """Commit-or-it-didn't-happen (VERDICT r03 #7): when an on-chip
+    measurement tool exists, its latest output must be committed at the
+    repo root — r03's measurements lived only in /tmp and were lost.
+    Enforced from round 4 on (the tools predate the contract)."""
+    if _latest("BENCH_r04.json") is None:
+        pytest.skip("round 4 bench not recorded yet (fresh clone/branch)")
+    for pattern, tool in [("SWEEP_r*.json", "tools/sweep_grad.sh"),
+                          ("BISECT_r0[4-9]*.json", "tools/bisect_body.py"),
+                          ("EVENTS_r*.json", "tools/profile_events.py")]:
+        if os.path.exists(os.path.join(ROOT, tool)):
+            assert _latest(pattern) is not None, (
+                f"{tool} exists but no committed {pattern} artifact")
+
+
+def test_bisect_artifact_sane():
+    """The bisect artifact must carry its own internal-consistency flag
+    (r03 emitted a 0.047 ms 'full body' — 1500x impossible — silently)."""
+    path = _latest("BISECT_r0[4-9]*.json")
+    if path is None:
+        pytest.skip("no committed r04+ bisect artifact")
+    with open(path) as f:
+        d = json.load(f)
+    assert d.get("sanity_ok") is True, d.get("sanity_errors")

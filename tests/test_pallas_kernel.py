@@ -84,6 +84,44 @@ def test_pallas_viewport_band():
                                atol=1e-4)
 
 
+@pytest.mark.parametrize("scan_mode", ["ladder", "mxu"])
+def test_pallas_scan_modes_match_xla(scan_mode, monkeypatch):
+    """Both within-chunk scan strategies (VPU rotate ladder and log-space
+    MXU triangular matmul) must match the XLA path for render AND
+    gradients — including with the early-termination latch engaged.
+    SCAN_MODE is read at trace time, so monkeypatch + cache clear re-bakes
+    the kernels (ADVICE r03: mxu previously had zero CI coverage)."""
+    from reduced_3dgs_tpu.ops.rasterize import pallas_kernel as pk
+    monkeypatch.setattr(pk, "SCAN_MODE", scan_mode)
+    jax.clear_caches()
+    try:
+        s = make_settings(32, 32, bg=(1.0, 1.0, 1.0))
+        args = _args(100, key=4, spread=0.15, opaque=True)
+
+        ref_out = render_tiled(*args, s)
+        assert (np.asarray(ref_out["final_T"]) < 2e-4).any()
+        pal_out = render_tiled(*args, s, use_pallas=True,
+                               pallas_interpret=True)
+        np.testing.assert_allclose(np.asarray(pal_out["render"]),
+                                   np.asarray(ref_out["render"]), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(pal_out["final_T"]),
+                                   np.asarray(ref_out["final_T"]), atol=1e-4)
+
+        def loss(use_pallas, *a):
+            out = render_tiled(*a, s, use_pallas=use_pallas,
+                               pallas_interpret=True)
+            return (jnp.mean(out["render"] ** 2)
+                    + 0.05 * jnp.mean(out["final_T"]))
+
+        g_x = jax.grad(lambda *a: loss(False, *a), argnums=(0, 1))(*args)
+        g_p = jax.grad(lambda *a: loss(True, *a), argnums=(0, 1))(*args)
+        for gx, gp, nm in zip(g_x, g_p, ["xyz", "opacity"]):
+            np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                       rtol=3e-3, atol=5e-5, err_msg=nm)
+    finally:
+        jax.clear_caches()  # don't leak monkeypatched-mode compilations
+
+
 def test_pallas_stats_match_xla():
     """The kernel's per-entry counters reduced per Gaussian must equal the
     XLA segmented-scan stats path (importance counting + SH-culling

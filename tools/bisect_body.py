@@ -255,7 +255,33 @@ def main():
         (time.perf_counter() - t0) / args_cli.steps * 1e3, 3)
     print(f"{'trainer.step loop':28s} {results['trainer.step loop']:8.3f} ms",
           file=sys.stderr)
+
+    # Internal consistency check (r03 emitted a 0.047 ms "full body" —
+    # a 1500x impossibility from donation/caching — without tripping
+    # anything). A superset program can only be FASTER than its parts by
+    # measurement noise; flag and mark the artifact if that's violated.
+    sanity = []
+    full = results.get("full body")
+    if full is not None:
+        parts = [v for k, v in results.items()
+                 if k in ("grad(base)", "+mask_rows", "+adam",
+                          "+accum(no adam)")]
+        if parts and full < max(parts) * 0.85:
+            sanity.append(
+                f"full body {full} ms < max(component) {max(parts)} ms"
+                " - 15%: superset cannot beat its parts; rerun "
+                "(donation/caching artifact?)")
+    base = results.get("grad(base)")
+    if base is not None and base < 1.0:
+        sanity.append(f"grad(base) {base} ms is implausibly fast; rerun")
+    results["sanity_ok"] = not sanity
+    if sanity:
+        results["sanity_errors"] = sanity
+        for msg in sanity:
+            print(f"SANITY FAIL: {msg}", file=sys.stderr)
     print(json.dumps(results))
+    if sanity:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -113,7 +113,7 @@ def main():
     ap.add_argument("--preset", default="full", choices=list(PRESETS))
     ap.add_argument("--device", default=None)
     ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(__file__), "..", "CONVERGENCE_r02.json"))
+        os.path.dirname(__file__), "..", "CONVERGENCE_r04.json"))
     args = ap.parse_args()
     cfg = PRESETS[args.preset]
 
@@ -243,7 +243,7 @@ def main():
         "quantized_ply_bytes": q_sz,
         "size_ratio": round(q_sz / raw_sz, 3),
         "wall_minutes": round((time.time() - t_start) / 60, 1),
-        "device": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
         "history": history,
         # Pinned bars (commit once, never lower): the run must clear these.
         "bars": {"psnr_final_min": 24.0, "psnr_gain_min": 4.0,

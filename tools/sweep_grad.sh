@@ -2,10 +2,13 @@
 # On-chip sweep of the fwd+bwd(+loss) program across the kernel/bin
 # strategy knobs. Metric: bisect_body's grad(base) (the step's compute
 # core), plus the K the adaptive buffer settled at (printed to stderr).
-# Usage: bash tools/sweep_grad.sh [out.jsonl]
+#
+# Output is a committed-artifact JSON (VERDICT r03 #7: measurements land
+# in git, not /tmp): a {"runs": [...]} object at the repo root.
+# Usage: bash tools/sweep_grad.sh [out.json]
 set -u
-OUT="${1:-/tmp/tpu_r03/SWEEP_GRAD.jsonl}"
-: > "$OUT"
+OUT="${1:-/root/repo/SWEEP_r04.json}"
+TMP="$(mktemp)"
 cd /root/repo
 run() {
   local tag="$1"; shift
@@ -14,7 +17,11 @@ run() {
   line=$(env "$@" BISECT_ONLY="grad(base)" timeout 1500 \
          python tools/bisect_body.py --steps 20 2>/tmp/sweep_err.txt | tail -1)
   kline=$(grep '^# K=' /tmp/sweep_err.txt | tail -1)
-  echo "{\"tag\": \"$tag\", \"env\": \"$*\", \"k\": \"${kline:-}\", \"result\": ${line:-null}}" >> "$OUT"
+  if [ -z "${line:-}" ]; then
+    echo "--- $tag FAILED; stderr tail:" >&2
+    tail -5 /tmp/sweep_err.txt >&2
+  fi
+  echo "{\"tag\": \"$tag\", \"env\": \"$*\", \"k\": \"${kline:-}\", \"result\": ${line:-null}}" >> "$TMP"
   echo "$tag -> ${line:-FAILED}  ${kline:-}" >&2
 }
 run align1_c256_ladder R3DGS_ALIGN=1 R3DGS_CHUNK=256 R3DGS_SCAN=ladder
@@ -25,6 +32,21 @@ run align1_c256_mxu    R3DGS_ALIGN=1 R3DGS_CHUNK=256 R3DGS_SCAN=mxu
 run align0_c256_mxu    R3DGS_ALIGN=0 R3DGS_CHUNK=256 R3DGS_SCAN=mxu
 run align1_c512_mxu    R3DGS_ALIGN=1 R3DGS_CHUNK=512 R3DGS_SCAN=mxu
 run align0_c512_mxu    R3DGS_ALIGN=0 R3DGS_CHUNK=512 R3DGS_SCAN=mxu
-run best_sort_packed   R3DGS_ALIGN=0 R3DGS_CHUNK=256 R3DGS_SCAN=ladder R3DGS_SORT=packed
-run best_emit_carry    R3DGS_ALIGN=0 R3DGS_CHUNK=256 R3DGS_SCAN=ladder R3DGS_EMISSION=carry
+run best_sort_packed   R3DGS_ALIGN=0 R3DGS_CHUNK=256 R3DGS_SCAN=mxu R3DGS_SORT=packed
+run best_emit_carry    R3DGS_ALIGN=0 R3DGS_CHUNK=256 R3DGS_SCAN=mxu R3DGS_EMISSION=carry
+# Assemble a single valid-JSON artifact.
+python - "$TMP" "$OUT" <<'EOF'
+import json, sys, datetime
+runs = [json.loads(l) for l in open(sys.argv[1]) if l.strip()]
+doc = {"tool": "tools/sweep_grad.sh", "metric": "grad(base) ms/step",
+       "runs": runs}
+ok = [r for r in runs if r["result"]]
+if ok:
+    best = min(ok, key=lambda r: r["result"]["grad(base)"])
+    doc["best"] = {"tag": best["tag"], "ms": best["result"]["grad(base)"]}
+doc["failed"] = [r["tag"] for r in runs if not r["result"]]
+json.dump(doc, open(sys.argv[2], "w"), indent=1)
+print(json.dumps({k: doc[k] for k in doc if k != "runs"}))
+EOF
+rm -f "$TMP"
 echo "sweep done -> $OUT" >&2
