@@ -80,9 +80,21 @@ def _window_candidates(order: jnp.ndarray, window: int) -> jnp.ndarray:
 
 
 def _best_k_rows(pts, mask, k, idx, cand_rows, dedup: bool):
-    """Top-k nearest among `cand_rows` for query rows `idx` (self excluded)."""
-    d = pts[idx][:, None, :] - pts[cand_rows]          # [R, C, 3]
-    dist = jnp.sum(d * d, axis=-1)
+    """Top-k nearest among `cand_rows` for query rows `idx` (self excluded).
+
+    Distances are computed coordinate-wise over [R, C] planes: a fused
+    [R, C, 3] difference tensor puts 3 on the minor (lane) axis, which TPU
+    tiling pads to 128 lanes — a 42x memory blowup that OOMed the 37k-point
+    redundancy KNN on v5e (17.7 GB for a 414 MB logical array). The gather
+    uses the [rows, N] -> [rows, K] 1-D-index row-gather form (2-D indices
+    lower to an index-major [R*C, 3] intermediate with the same padding
+    blowup; see tiled.bin_and_sort's measured-fast per_g gather)."""
+    r, c_w = cand_rows.shape
+    ptsT = pts.T                                       # [3, N]
+    q = ptsT[:, idx]                                   # [3, R]
+    c = jnp.take(ptsT, cand_rows.reshape(-1),
+                 axis=1).reshape(3, r, c_w)            # [3, R, C]
+    dist = sum((q[a][:, None] - c[a]) ** 2 for a in range(3))  # [R, C]
     invalid = cand_rows == idx[:, None]
     if mask is not None:
         invalid = invalid | ~mask[cand_rows]

@@ -79,6 +79,17 @@ BIG = 2 ** 30  # python int: jnp constants at module scope would be traced captu
 # ladder/align1 (the old default) at 69.9 ms on the 200k bench scene —
 # ~12% step win (SWEEP_r04.json re-measures and commits this).
 SCAN_MODE = _os.environ.get("R3DGS_SCAN", "mxu")
+# MXU pass count for the triangular-scan matmuls. The operands are an f32
+# [P,C] block against a 0/1 matrix: the 0/1 side is EXACT in bf16, so the
+# f32x3 decomposition of the other side (HIGH, 3 passes) already reproduces
+# the f32 sum to ~1e-7 relative — HIGHEST (6 passes) buys nothing here but
+# doubles the MXU time of the scan stage (1 fwd + 2 bwd matmuls per grid
+# step ~ 100+ GFLOP/frame at bench scale). Knob for on-chip A/B.
+TRI_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}[_os.environ.get("R3DGS_TRI_PRECISION", "high")]
 
 
 def _tri_matrix():
@@ -274,7 +285,7 @@ def _fwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
             lex = jax.lax.dot_general(
                 l1m, tri_ref[:, :], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)         # excl prefix
+                precision=TRI_PRECISION)                     # excl prefix
             T_in = T * jnp.exp(lex)
             trigger = gate & (T_in * one_m < config.T_EPS)
         else:
@@ -472,7 +483,7 @@ def _bwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
             prefix_ex = jax.lax.dot_general(
                 log1ma, tri_ref[:, :], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=TRI_PRECISION)
         else:
             prefix_ex = _cumsum_lanes(log1ma, exclusive=True)
         T_in = T_end * jnp.exp(prefix_ex - tot_log)         # T before entry
@@ -497,7 +508,7 @@ def _bwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
             S_after = jax.lax.dot_general(
                 wc, tri_ref[:, :], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) + S
+                precision=TRI_PRECISION) + S
         else:
             prefix_incl_wc = _cumsum_lanes(wc)
             S_after = (tot_wc - prefix_incl_wc) + S          # [P,C]

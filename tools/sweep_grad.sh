@@ -34,6 +34,13 @@ run align1_c512_mxu    R3DGS_ALIGN=1 R3DGS_CHUNK=512 R3DGS_SCAN=mxu
 run align0_c512_mxu    R3DGS_ALIGN=0 R3DGS_CHUNK=512 R3DGS_SCAN=mxu
 run best_sort_packed   R3DGS_ALIGN=0 R3DGS_CHUNK=256 R3DGS_SCAN=mxu R3DGS_SORT=packed
 run best_emit_carry    R3DGS_ALIGN=0 R3DGS_CHUNK=256 R3DGS_SCAN=mxu R3DGS_EMISSION=carry
+run best_tri_highest   R3DGS_ALIGN=0 R3DGS_CHUNK=256 R3DGS_SCAN=mxu R3DGS_TRI_PRECISION=highest
+run best_tri_default   R3DGS_ALIGN=0 R3DGS_CHUNK=256 R3DGS_SCAN=mxu R3DGS_TRI_PRECISION=default
+# CHUNK=128 halves the tri-matmul MACs per entry (the scan is O(CHUNK) per
+# pixel-entry pair) at the cost of ~1.5x more grid steps; c512 measuring
+# WORSE in r03 says the scan term is real, so probe the other direction.
+run align0_c128_mxu    R3DGS_ALIGN=0 R3DGS_CHUNK=128 R3DGS_SCAN=mxu
+run align0_c128_ladder R3DGS_ALIGN=0 R3DGS_CHUNK=128 R3DGS_SCAN=ladder
 # Assemble a single valid-JSON artifact.
 python - "$TMP" "$OUT" <<'EOF'
 import json, sys, datetime
