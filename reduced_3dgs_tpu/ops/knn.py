@@ -79,22 +79,24 @@ def _window_candidates(order: jnp.ndarray, window: int) -> jnp.ndarray:
     return order[cand_rank]                      # [N, window]
 
 
+def _row_chunk_for(n_cand: int, budget_bytes: int = 10 ** 9) -> int:
+    """Rows per chunk so the gather's padded intermediate stays bounded.
+
+    A [R, C, 3] candidate gather materializes with the minor dim padded
+    3 -> 128 by TPU (8,128) tiling — 42x the logical size (an unchunked
+    37k x 930 gather allocated 17.7 GB and OOMed v5e; measured on-chip:
+    scalar per-coordinate gathers avoid the padding but run 8x slower
+    than bounded-chunk 3-wide gathers, 859 vs 107 ms at that scale)."""
+    return max(256, budget_bytes // (n_cand * 128 * 4))
+
+
 def _best_k_rows(pts, mask, k, idx, cand_rows, dedup: bool):
     """Top-k nearest among `cand_rows` for query rows `idx` (self excluded).
 
-    Distances are computed coordinate-wise over [R, C] planes: a fused
-    [R, C, 3] difference tensor puts 3 on the minor (lane) axis, which TPU
-    tiling pads to 128 lanes — a 42x memory blowup that OOMed the 37k-point
-    redundancy KNN on v5e (17.7 GB for a 414 MB logical array). The gather
-    uses the [rows, N] -> [rows, K] 1-D-index row-gather form (2-D indices
-    lower to an index-major [R*C, 3] intermediate with the same padding
-    blowup; see tiled.bin_and_sort's measured-fast per_g gather)."""
-    r, c_w = cand_rows.shape
-    ptsT = pts.T                                       # [3, N]
-    q = ptsT[:, idx]                                   # [3, R]
-    c = jnp.take(ptsT, cand_rows.reshape(-1),
-                 axis=1).reshape(3, r, c_w)            # [3, R, C]
-    dist = sum((q[a][:, None] - c[a]) ** 2 for a in range(3))  # [R, C]
+    Callers bound the row count via _row_chunk_for: the [R, C, 3] gather
+    pads its minor dim 3 -> 128 on TPU, so R must be capped for memory."""
+    d = pts[idx][:, None, :] - pts[cand_rows]          # [R, C, 3]
+    dist = jnp.sum(d * d, axis=-1)
     invalid = cand_rows == idx[:, None]
     if mask is not None:
         invalid = invalid | ~mask[cand_rows]
@@ -213,11 +215,15 @@ def knn(points: jnp.ndarray, k: int, window: int = 256,
         cands.append(_window_candidates(order, window))
     cand = jnp.concatenate(cands, axis=1)        # [N, n_orders*window]
 
-    d, i = _chunked_best_k(pts, mask, k, cand, row_chunk, dedup=n_orders > 1)
+    d, i = _chunked_best_k(pts, mask, k, cand,
+                           min(row_chunk,
+                               _row_chunk_for(n_orders * window)),
+                           dedup=n_orders > 1)
 
     # NN-descent refinement. k*k candidate blocks are ~4x smaller than the
     # window phase's, so rounds are cheap relative to phase 1.
     refine_chunk = max(1, (row_chunk * window * n_orders) // max(k * k, 1))
+    refine_chunk = min(refine_chunk, _row_chunk_for(k + k * k))
     for _ in range(refine_rounds):
         d, i = _chunked_refine(pts, mask, k, i, refine_chunk)
     return d, i

@@ -27,40 +27,73 @@ from ..trainer import (AbstractDensifier, DensificationTrainer, NoopDensifier,
                        OpacityPruner)
 
 
+def _metric_body(xyz, scaling, rotation, alive, full_proj, inv_proj,
+                 heights, widths, pixel_scale, k: int):
+    """Traced redundancy-metric body at CAPACITY shape [C].
+
+    Dead rows are excluded via `alive`: they are pushed out of the KNN
+    (mask arg), may not contribute to any point's minimum (their
+    mask_full rows/cols are zeroed), and their own outputs are garbage the
+    caller slices away. Running at capacity keeps the jitted program's
+    shapes static across prune events — n_alive changes after EVERY mercy
+    prune, and a [:n]-shaped program would recompile per event."""
+    c = xyz.shape[0]
+    cube_size = find_minimum_projected_pixel_size(
+        full_proj, inv_proj, xyz, heights, widths)
+    half_diagonal = cube_size * pixel_scale * jnp.sqrt(3.0) / 2.0
+
+    _, indices = knn(xyz, k, mask=alive)
+
+    counts, mask = sphere_ellipsoid_intersection(
+        xyz, scaling, rotation, indices, half_diagonal)
+    # the point itself was not counted: +1 (reference :36)
+    counts = counts + 1
+
+    # A window under-filled with live points can return dead/garbage
+    # neighbours (inf distance but real indices): gate contributions by
+    # BOTH endpoints' liveness.
+    self_idx = jnp.arange(c, dtype=jnp.int32)[:, None]
+    indices_full = jnp.concatenate([self_idx, indices], axis=1)
+    mask_full = jnp.concatenate(
+        [alive[:, None], mask & alive[:, None] & alive[indices]], axis=1)
+
+    min_redundancy = allocate_minimum_redundancy_value(
+        counts, indices_full, mask_full, num_points=c)
+    return min_redundancy, cube_size
+
+
+@partial(jax.jit, static_argnums=(9,))
+def _metric_jit(xyz, scaling, rotation, alive, full_proj, inv_proj,
+                heights, widths, pixel_scale, k: int):
+    return _metric_body(xyz, scaling, rotation, alive, full_proj, inv_proj,
+                        heights, widths, pixel_scale, k)
+
+
+def _camera_mats(cameras):
+    full_proj = jnp.stack([cam.full_proj_transform for cam in cameras])
+    inv_proj = jnp.linalg.inv(full_proj)
+    heights = jnp.array([cam.image_height for cam in cameras], jnp.int32)
+    widths = jnp.array([cam.image_width for cam in cameras], jnp.int32)
+    return full_proj, inv_proj, heights, widths
+
+
 def calculate_redundancy_metric(gaussians: GaussianModel,
                                 cameras: CameraDataset,
                                 pixel_scale: float = 1.0,
                                 num_neighbours: int = 30):
-    """Reference pruning/trainer.py:11-42, on live points only."""
+    """Reference pruning/trainer.py:11-42, on live points only.
+
+    One jitted program at capacity shape: the eager op-by-op version paid
+    hundreds of per-op dispatches over the remote TPU tunnel (~30 s/event
+    at 37k points measured on v5e; jitted it is tens of ms)."""
     n = gaussians.num_points
-    xyz = gaussians.get_xyz[:n]
-    full_proj = jnp.stack([cam.full_proj_transform for cam in cameras])
-    inv_proj = jnp.stack([jnp.linalg.inv(cam.full_proj_transform)
-                          for cam in cameras])
-    heights = jnp.array([cam.image_height for cam in cameras], jnp.int32)
-    widths = jnp.array([cam.image_width for cam in cameras], jnp.int32)
-
-    cube_size = find_minimum_projected_pixel_size(
-        full_proj, inv_proj, xyz, heights, widths)
-
-    scaled_pixel_size = cube_size * pixel_scale
-    half_diagonal = scaled_pixel_size * jnp.sqrt(3.0) / 2.0
-
-    _, indices = knn(xyz, num_neighbours)
-
-    counts, mask = sphere_ellipsoid_intersection(
-        xyz, gaussians.get_scaling[:n], gaussians.get_rotation[:n],
-        indices, half_diagonal)
-    # the point itself was not counted: +1 (reference :36)
-    counts = counts + 1
-
-    self_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
-    indices_full = jnp.concatenate([self_idx, indices], axis=1)
-    mask_full = jnp.concatenate([jnp.ones((n, 1), bool), mask], axis=1)
-
-    min_redundancy = allocate_minimum_redundancy_value(
-        counts, indices_full, mask_full, num_points=n)
-    return min_redundancy, cube_size
+    min_red, cube = _metric_jit(
+        gaussians.get_xyz, gaussians.get_scaling, gaussians.get_rotation,
+        gaussians.alive_mask
+        if gaussians.alive_mask is not None
+        else jnp.ones((gaussians.get_xyz.shape[0],), bool),
+        *_camera_mats(cameras), jnp.float32(pixel_scale), num_neighbours)
+    return min_red[:n], cube[:n]
 
 
 def mercy_points(model: GaussianModel, splatted_num_accum: jnp.ndarray,
@@ -102,14 +135,65 @@ def _masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.nanmedian(v)
 
 
+@partial(jax.jit, static_argnums=(10, 13))
+def _mercy_jit(xyz, scaling, rotation, alive, full_proj, inv_proj,
+               heights, widths, pixel_scale, opacity, k: int,
+               lambda_mercy, mercy_minimum, mercy_type: str, rand,
+               n_alive):
+    """Full mercy-prune event (metric + policy) as ONE capacity-static
+    program; statistics are computed over alive rows only (dead rows'
+    metric values are garbage)."""
+    min_red, _ = _metric_body(xyz, scaling, rotation, alive, full_proj,
+                              inv_proj, heights, widths, pixel_scale, k)
+    counts = min_red.astype(jnp.float32)
+    na = jnp.maximum(n_alive.astype(jnp.float32), 1.0)
+    mean = jnp.sum(jnp.where(alive, counts, 0.0)) / na
+    var = (jnp.sum(jnp.where(alive, (counts - mean) ** 2, 0.0))
+           / jnp.maximum(na - 1.0, 1.0))
+    threshold = jnp.maximum(mean + lambda_mercy * jnp.sqrt(var),
+                            mercy_minimum)
+    mask = (counts > threshold) & alive
+    op_alive = jnp.where(alive, opacity, jnp.nan)
+    if mercy_type == "redundancy_opacity":
+        med = _masked_median(opacity, mask)
+        mask = mask & (opacity < med)
+    elif mercy_type == "redundancy_random":
+        mask = mask & (rand < 0.5)
+    elif mercy_type == "opacity":
+        thr = jnp.nanquantile(op_alive, 0.045)
+        mask = (opacity < thr) & alive
+    elif mercy_type == "redundancy_opacity_opacity":
+        med = _masked_median(opacity, mask)
+        mask = mask & (opacity < med)
+        thr = jnp.minimum(jnp.nanquantile(op_alive, 0.03), 0.05)
+        mask = (mask | (opacity < thr)) & alive
+    else:
+        raise ValueError(f"unknown mercy_type {mercy_type!r}")
+    return mask
+
+
 def mercy_gaussians(model: GaussianModel, dataset: CameraDataset,
                     box_size: float = 1.0, lambda_mercy: float = 1.0,
                     mercy_minimum: int = 3,
-                    mercy_type: str = "redundancy_opacity") -> jnp.ndarray:
-    splatted_num_accum, _ = calculate_redundancy_metric(
-        model, dataset, pixel_scale=box_size)
-    return mercy_points(model, splatted_num_accum, lambda_mercy,
-                        mercy_minimum, mercy_type)
+                    mercy_type: str = "redundancy_opacity",
+                    rng: np.random.Generator = None) -> jnp.ndarray:
+    c = model.capacity
+    n = model.num_points
+    alive = model.alive_mask
+    if alive is None:
+        alive = jnp.ones((c,), bool)
+    if mercy_type == "redundancy_random":
+        rng = rng or np.random.default_rng(0)
+        rand = jnp.asarray(rng.random(c).astype(np.float32))
+    else:
+        rand = jnp.zeros((1,), jnp.float32)  # unused; keep cache stable
+    mask = _mercy_jit(
+        model.get_xyz, model.get_scaling, model.get_rotation, alive,
+        *_camera_mats(dataset), jnp.float32(box_size),
+        model.get_opacity[:, 0], 30, jnp.float32(lambda_mercy),
+        jnp.float32(mercy_minimum), mercy_type, rand,
+        jnp.int32(n))
+    return mask[:n]
 
 
 class BasePruner(OpacityPruner):

@@ -142,6 +142,41 @@ def main():
         (pre.rect_min, pre.rect_max, pre.tiles_touched, pre.depths),
         args_cli.steps)
 
+    # Preprocess (project + cov2D + SH) fwd and fwd+bwd.
+    arr = model.render_array_args(params, model.aux_state())
+
+    def prep_fn(carry, xyz, *rest):
+        p = common.preprocess(xyz + carry * 1e-30, *rest, settings)
+        return carry + jnp.sum(p.means2d[:8]) * 0
+
+    prep_ms = time_chained(jax.jit(prep_fn), tuple(arr), args_cli.steps)
+
+    def prep_grad_fn(carry, xyz, *rest):
+        def f(x):
+            p = common.preprocess(x, *rest, settings)
+            return (jnp.sum(p.means2d * 1e-6) + jnp.sum(p.conic * 1e-6)
+                    + jnp.sum(p.rgb * 1e-6) + jnp.sum(p.opacity * 1e-6))
+        val, g = jax.value_and_grad(f)(xyz + carry * 1e-30)
+        return carry + val * 0 + jnp.sum(g[:8]) * 0
+
+    prep_grad_ms = time_chained(jax.jit(prep_grad_fn), tuple(arr),
+                                args_cli.steps)
+
+    # SSIM loss fwd+bwd at bench resolution.
+    from reduced_3dgs_tpu.ops.ssim import ssim
+    img = jnp.clip(color4[:num_tiles, :, :3].reshape(-1)[
+        : 3 * settings.image_height * settings.image_width].reshape(
+        3, settings.image_height, settings.image_width), 0, 1)
+    gt_img = jnp.roll(img, 1, axis=1)
+
+    def ssim_fn(carry, a, b):
+        def f(x):
+            return 1.0 - ssim(x, b)
+        val, g = jax.value_and_grad(f)(a + carry * 1e-30)
+        return carry + val * 0 + jnp.sum(g[:, :2, :2]) * 0
+
+    ssim_ms = time_chained(jax.jit(ssim_fn), (img, gt_img), args_cli.steps)
+
     print(json.dumps({
         "align": bool(align), "scan": pk.SCAN_MODE, "chunk": pk.CHUNK,
         "sort": config.SORT_MODE, "emission": config.EMISSION_MODE,
@@ -150,6 +185,9 @@ def main():
         "fwd_kernel_ms": round(fwd_ms, 2), "bwd_kernel_ms": round(bwd_ms, 2),
         "fwd_bwd_vjp_ms": round(vjp_ms, 2),
         "binsort_ms": round(binsort_ms, 2),
+        "preprocess_ms": round(prep_ms, 2),
+        "preprocess_grad_ms": round(prep_grad_ms, 2),
+        "ssim_grad_ms": round(ssim_ms, 2),
         "device": str(jax.devices()[0])}))
 
 

@@ -43,12 +43,17 @@ from reduced_3dgs_tpu.quantization import VectorQuantizer  # noqa: E402
 
 
 def timeit(fn, repeats=3):
-    out = fn()
+    """fn(i) -> outputs; i varies per call so inputs differ.
+
+    The axon remote runtime caches (executable, args) -> result: repeated
+    calls with IDENTICAL device arrays return without executing (measured
+    0.1 ms for a 37k-point KNN). Callers must fold `i` into an input."""
+    out = fn(0)
     jax.block_until_ready(out)
     best = math.inf
-    for _ in range(repeats):
+    for i in range(1, repeats + 1):
         t0 = time.perf_counter()
-        out = fn()
+        out = fn(i)
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
     return best * 1e3
@@ -74,27 +79,52 @@ def main():
                "device": str(jax.devices()[0]), "ms": {}}
     ms = results["ms"]
 
+    base_xyz = model._xyz
+
+    def vary(i):
+        # Fold the repetition index into the positions so the axon result
+        # cache (identical executable+args -> replayed result) cannot
+        # fake the timing; 1e-6 does not change any code path.
+        model._xyz = base_xyz + jnp.float32(i) * 1e-6
+        return model._xyz
+
     # --- KNN with baked defaults (redundancy metric's search) -------------
     knn_j = jax.jit(lambda p: knn_ops.knn(p, 30))
-    ms["knn30_defaults"] = round(timeit(lambda: knn_j(xyz)), 1)
+    ms["knn30_defaults"] = round(timeit(lambda i: knn_j(vary(i))), 1)
     knn_r2 = jax.jit(lambda p: knn_ops.knn(p, 30, refine_rounds=2))
-    ms["knn30_refine2"] = round(timeit(lambda: knn_r2(xyz)), 1)
+    ms["knn30_refine2"] = round(timeit(lambda i: knn_r2(vary(i))), 1)
     knn_r0 = jax.jit(lambda p: knn_ops.knn(p, 30, refine_rounds=0))
-    ms["knn30_refine0"] = round(timeit(lambda: knn_r0(xyz)), 1)
+    ms["knn30_refine0"] = round(timeit(lambda i: knn_r0(vary(i))), 1)
 
     # --- full redundancy metric -------------------------------------------
-    ms["redundancy_metric"] = round(
-        timeit(lambda: calculate_redundancy_metric(model, ds)), 1)
+    def red(i):
+        vary(i)
+        return calculate_redundancy_metric(model, ds)
+    ms["redundancy_metric"] = round(timeit(red), 1)
+
+    # --- full mercy event (metric + policy, the per-100-step cost) --------
+    from reduced_3dgs_tpu.pruning.trainer import mercy_gaussians
+
+    def mercy(i):
+        vary(i)
+        return mercy_gaussians(model, ds)
+    ms["mercy_event"] = round(timeit(mercy), 1)
 
     # --- importance counting sweep, per camera ----------------------------
-    ms["importance_count_render_per_cam"] = round(
-        timeit(lambda: count_render(model, cam)), 1)
+    def cnt(i):
+        vary(i)
+        return count_render(model, cam)
+    ms["importance_count_render_per_cam"] = round(timeit(cnt), 1)
 
     # --- SH-culling stats, per camera -------------------------------------
     aux = model.aux_state()
-    ms["shculling_stats_per_cam"] = round(
-        timeit(lambda: calculate_colours_variance(
-            [cam], model, params, aux["degrees"], 3)), 1)
+
+    def shc(i):
+        p = dict(params, xyz=vary(i))
+        return calculate_colours_variance([cam], model, p,
+                                          aux["degrees"], 3)
+    ms["shculling_stats_per_cam"] = round(timeit(shc), 1)
+    model._xyz = base_xyz
 
     # --- one full VQ quantize (codebook update + assignment) --------------
     quantizer = VectorQuantizer()
@@ -120,7 +150,7 @@ def main():
         # VQ: every 1000 in [5000, 30000] (in-training) -> 25 warm updates
         "vq_events": 25,
     }
-    total_s = (schedule["redundancy_events"] * ms["redundancy_metric"]
+    total_s = (schedule["redundancy_events"] * ms["mercy_event"]
                + schedule["importance_events"]
                * ms["importance_count_render_per_cam"]
                + schedule["shculling_events"] * ms["shculling_stats_per_cam"]
