@@ -199,10 +199,30 @@ def main():
 
     history = []
     order = list(range(len(ds)))
-    psnr0 = eval_psnr()
-    n_peak = model.num_points
-    print(f"init: psnr={psnr0:.2f} n={model.num_points}", flush=True)
-    for step in range(1, it + 1):
+    ckpt_dir = "/tmp/convergence_proof"
+    os.makedirs(ckpt_dir, exist_ok=True)
+    ckpt = os.path.join(ckpt_dir, f"ckpt_{args.preset}.npz")
+    start = 0
+    # Resume from the last periodic checkpoint (the remote TPU tunnel can
+    # hang mid-run; the engine state round-trips bit-exactly through
+    # trainer/checkpoint.py, so a kill+relaunch continues, not restarts).
+    if os.path.exists(ckpt) and os.path.exists(args.out + ".partial"):
+        from reduced_3dgs_tpu.trainer.checkpoint import load_checkpoint
+        with open(args.out + ".partial") as f:
+            part = json.load(f)
+        if part.get("preset") == args.preset and part.get("history"):
+            load_checkpoint(trainer, ckpt)
+            history = part["history"]
+            start = history[-1]["step"]
+            psnr0 = part["psnr_init"]
+            n_peak = part["n_points_peak"]
+            print(f"resumed at step {start} (n={model.num_points})",
+                  flush=True)
+    if start == 0:
+        psnr0 = eval_psnr()
+        n_peak = model.num_points
+        print(f"init: psnr={psnr0:.2f} n={model.num_points}", flush=True)
+    for step in range(start + 1, it + 1):
         if step % len(order) == 1:
             rng.shuffle(order)
         loss, out = trainer.step(ds[order[step % len(order)]])
@@ -212,6 +232,8 @@ def main():
                    "psnr": eval_psnr(), "n_points": model.num_points}
             history.append(row)
             print(row, flush=True)
+            from reduced_3dgs_tpu.trainer.checkpoint import save_checkpoint
+            save_checkpoint(trainer, ckpt)
             # Crash-safe partial record (long CPU runs can be killed).
             with open(args.out + ".partial", "w") as f:
                 json.dump({"preset": args.preset, "psnr_init": psnr0,
