@@ -90,6 +90,19 @@ TRI_PRECISION = {
     "high": jax.lax.Precision.HIGH,
     "default": jax.lax.Precision.DEFAULT,
 }[_os.environ.get("R3DGS_TRI_PRECISION", "high")]
+# Backward reduction strategy: "1" collapses the ten per-entry reductions
+# (gx, gy, gA, gB, gC, dop + four color grads) into TWO small MXU matmuls —
+# a [6,P]@[P,C] tile-relative pixel-moment contraction and a [4,P]@[P,C]
+# color-grad contraction — eliminating ~8 full [P,C] VPU intermediates and
+# ten cross-sublane reduction ladders per grid step (see _bwd_kernel).
+BWD_MOMENTS = _os.environ.get("R3DGS_BWD_MOMENTS", "0") == "1"
+# Forward early-exit flag maintenance: the per-step SMEM maxlatch refresh is
+# a serial scalar chain between consecutive steps of a tile (each step's
+# predicate waits on the previous step's full vector reduce). "0" skips the
+# refresh — SEMANTICALLY IDENTICAL (contrib masks by latch position either
+# way; the flag only skips provably-dead steps) but trades dead-step work
+# for pipeline freedom. Scene-dependent: A/B on chip via the sweep.
+EARLY_EXIT = _os.environ.get("R3DGS_EARLY_EXIT", "1") == "1"
 
 
 def _tri_matrix():
@@ -339,10 +352,12 @@ def _fwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
         # a per-step SMEM write makes every step's predicate wait on the
         # previous step's full vector reduce (a serial scalar chain that
         # defeats pipelining); most tiles span 1-3 chunks and never need
-        # the flag at all.
-        @pl.when(jnp.logical_not(last))
-        def _():
-            maxlatch[0, 0] = jnp.max(latch_new)
+        # the flag at all. (EARLY_EXIT=0 drops the refresh entirely —
+        # identical output, no dead-step skipping, no scalar chain.)
+        if EARLY_EXIT:
+            @pl.when(jnp.logical_not(last))
+            def _():
+                maxlatch[0, 0] = jnp.max(latch_new)
 
     # One output write per tile, at its last step: the per-step state lives
     # entirely in scratch. (Accumulating directly into revisited output
@@ -492,11 +507,21 @@ def _bwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
         # c . g per (pixel, entry)
         cdotg = (r * g4[:, 0:1] + g * g4[:, 1:2] + b * g4[:, 2:3]
                  + depth * g4[:, 3:4])                      # [P,C]
-        # per-entry c4 gradients: [1,C] each
-        g_r = jnp.sum(w * g4[:, 0:1], axis=0, keepdims=True)
-        g_g = jnp.sum(w * g4[:, 1:2], axis=0, keepdims=True)
-        g_b = jnp.sum(w * g4[:, 2:3], axis=0, keepdims=True)
-        g_d = jnp.sum(w * g4[:, 3:4], axis=0, keepdims=True)
+        if BWD_MOMENTS:
+            # per-entry c4 gradients as ONE [4,P]@[P,C] MXU contraction
+            # (g4 is f32; HIGH = f32x3 passes reproduces the f32 sum).
+            gcol = jax.lax.dot_general(
+                g4, w, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=TRI_PRECISION)                     # [4,C]
+            g_r, g_g, g_b, g_d = (gcol[0:1], gcol[1:2], gcol[2:3],
+                                  gcol[3:4])
+        else:
+            # per-entry c4 gradients: [1,C] each
+            g_r = jnp.sum(w * g4[:, 0:1], axis=0, keepdims=True)
+            g_g = jnp.sum(w * g4[:, 1:2], axis=0, keepdims=True)
+            g_b = jnp.sum(w * g4[:, 2:3], axis=0, keepdims=True)
+            g_d = jnp.sum(w * g4[:, 3:4], axis=0, keepdims=True)
 
         # dL/dabar_k = contrib * [ cdotg*T_in - (S_after + T_final*gT)/(1-abar) ]
         # suffix sums of w*cdotg EXCLUSIVE of k, then add the carry S.
@@ -523,15 +548,57 @@ def _bwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
         # per-entry reductions with NaNs.
         G_gated = jnp.where(gate, G, 0.0)
         dG = op * dalpha
-        dop = jnp.sum(G_gated * dalpha, axis=0, keepdims=True)  # [1,C]
         dpower = dG * G_gated
-        ddx = dpower * (-A * dx - B * dy)
-        ddy = dpower * (-C * dy - B * dx)
-        gx = jnp.sum(ddx, axis=0, keepdims=True)
-        gy = jnp.sum(ddy, axis=0, keepdims=True)
-        gA = jnp.sum(dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
-        gB = jnp.sum(dpower * (-dx * dy), axis=0, keepdims=True)
-        gC = jnp.sum(dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
+        if BWD_MOMENTS:
+            # All position/conic reductions from ONE [6,P]@[P,C] moment
+            # matmul: rows are sums of dpower * {1, u, v, u^2, v^2, u*v}
+            # over TILE-RELATIVE pixel coords u = sub % 16, v = sub // 16.
+            # Tile-relative keeps the polynomial expansion below
+            # cancellation-free: dx = x' - u with u in [0,16), so expanded
+            # terms stay the magnitude of dx itself (expanding in absolute
+            # pixel coords would cancel x^2 ~ 1e6 down to dx^2 ~ 1e2 and
+            # amplify f32 rounding ~1e4x). The moment matrix holds ints
+            # <= 225 — exact in bf16, so HIGH precision is exact too.
+            lane_p = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
+            u = (lane_p % config.BLOCK_X).astype(jnp.float32)   # [1,P]
+            v = (lane_p // config.BLOCK_X).astype(jnp.float32)
+            Mt = jnp.concatenate(
+                [jnp.ones_like(u), u, v, u * u, v * v, u * v], axis=0)
+            mom = jax.lax.dot_general(
+                Mt, dpower, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=TRI_PRECISION)                     # [6,C]
+            m1, mu, mv = mom[0:1], mom[1:2], mom[2:3]
+            muu, mvv, muv = mom[3:4], mom[4:5], mom[5:6]
+            tx = ((t % tiles_x) * config.BLOCK_X).astype(jnp.float32)
+            ty = ((t // tiles_x + row_off[0])
+                  * config.BLOCK_Y).astype(jnp.float32)
+            xr = x - tx                                      # [1,C]
+            yr = y - ty
+            sdx = xr * m1 - mu                   # sum_p dpower * dx
+            sdy = yr * m1 - mv
+            sdxx = xr * xr * m1 - 2.0 * xr * mu + muu
+            sdyy = yr * yr * m1 - 2.0 * yr * mv + mvv
+            sdxy = xr * yr * m1 - xr * mv - yr * mu + muv
+            gx = -A * sdx - B * sdy
+            gy = -C * sdy - B * sdx
+            gA = -0.5 * sdxx
+            gB = -sdxy
+            gC = -0.5 * sdyy
+            # m1 = op * sum_p(dalpha * G_gated) exactly (op constant per
+            # entry), so dop = m1 / op; guard op == 0 (sigmoid underflow:
+            # gate kills those pairs, making the true dop 0).
+            op_safe = jnp.where(op > 0.0, op, 1.0)
+            dop = jnp.where(op > 0.0, m1 / op_safe, 0.0)
+        else:
+            dop = jnp.sum(G_gated * dalpha, axis=0, keepdims=True)  # [1,C]
+            ddx = dpower * (-A * dx - B * dy)
+            ddy = dpower * (-C * dy - B * dx)
+            gx = jnp.sum(ddx, axis=0, keepdims=True)
+            gy = jnp.sum(ddy, axis=0, keepdims=True)
+            gA = jnp.sum(dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
+            gB = jnp.sum(dpower * (-dx * dy), axis=0, keepdims=True)
+            gC = jnp.sum(dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
         grads_ref[0] = jnp.concatenate(
             [gx, gy, gA, gB, gC, dop, g_r, g_g, g_b, g_d], axis=0)  # [10,C]
 

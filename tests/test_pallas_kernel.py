@@ -122,6 +122,40 @@ def test_pallas_scan_modes_match_xla(scan_mode, monkeypatch):
         jax.clear_caches()  # don't leak monkeypatched-mode compilations
 
 
+@pytest.mark.parametrize("scan_mode", ["ladder", "mxu"])
+def test_pallas_bwd_moments_match_xla(scan_mode, monkeypatch):
+    """R3DGS_BWD_MOMENTS=1 replaces the backward kernel's ten per-entry
+    cross-sublane reductions with two MXU contractions (tile-relative pixel
+    moments + color grads). Must match the XLA path bit-for-tolerance in
+    both scan modes, including with the early-termination latch engaged."""
+    from reduced_3dgs_tpu.ops.rasterize import pallas_kernel as pk
+    monkeypatch.setattr(pk, "BWD_MOMENTS", True)
+    monkeypatch.setattr(pk, "SCAN_MODE", scan_mode)
+    jax.clear_caches()
+    try:
+        s = make_settings(32, 32, bg=(1.0, 1.0, 1.0))
+        args = _args(100, key=4, spread=0.15, opaque=True)
+        assert (np.asarray(render_tiled(*args, s)["final_T"]) < 2e-4).any()
+        target = jnp.linspace(0, 1, 3 * 32 * 32).reshape(3, 32, 32)
+
+        def loss(use_pallas, *a):
+            out = render_tiled(*a, s, use_pallas=use_pallas,
+                               pallas_interpret=True)
+            return (jnp.mean(jnp.abs(out["render"] - target))
+                    + 0.05 * jnp.mean(out["depth"])
+                    + 0.05 * jnp.mean(out["final_T"]))
+
+        g_x = jax.grad(lambda *a: loss(False, *a),
+                       argnums=(0, 1, 2, 3, 4))(*args)
+        g_p = jax.grad(lambda *a: loss(True, *a),
+                       argnums=(0, 1, 2, 3, 4))(*args)
+        for gx, gp, nm in zip(g_x, g_p, ["xyz", "op", "scale", "rot", "shs"]):
+            np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                       rtol=3e-3, atol=5e-5, err_msg=nm)
+    finally:
+        jax.clear_caches()
+
+
 def test_pallas_stats_match_xla():
     """The kernel's per-entry counters reduced per Gaussian must equal the
     XLA segmented-scan stats path (importance counting + SH-culling

@@ -41,6 +41,14 @@ run best_tri_default   R3DGS_ALIGN=0 R3DGS_CHUNK=256 R3DGS_SCAN=mxu R3DGS_TRI_PR
 # WORSE in r03 says the scan term is real, so probe the other direction.
 run align0_c128_mxu    R3DGS_ALIGN=0 R3DGS_CHUNK=128 R3DGS_SCAN=mxu
 run align0_c128_ladder R3DGS_ALIGN=0 R3DGS_CHUNK=128 R3DGS_SCAN=ladder
+# Backward moment-matmul reductions (R3DGS_BWD_MOMENTS): ten cross-sublane
+# reduction ladders + ~8 [P,C] VPU intermediates -> two small MXU matmuls.
+run best_bwd_moments   R3DGS_ALIGN=0 R3DGS_CHUNK=256 R3DGS_SCAN=mxu R3DGS_BWD_MOMENTS=1
+run moments_c128       R3DGS_ALIGN=0 R3DGS_CHUNK=128 R3DGS_SCAN=mxu R3DGS_BWD_MOMENTS=1
+# Early-exit SMEM chain off (identical output; trades dead-step work for
+# pipeline freedom) — alone and stacked with moments.
+run best_no_earlyexit  R3DGS_ALIGN=0 R3DGS_CHUNK=256 R3DGS_SCAN=mxu R3DGS_EARLY_EXIT=0
+run moments_no_ee      R3DGS_ALIGN=0 R3DGS_CHUNK=256 R3DGS_SCAN=mxu R3DGS_BWD_MOMENTS=1 R3DGS_EARLY_EXIT=0
 # Assemble a single valid-JSON artifact.
 python - "$TMP" "$OUT" <<'EOF'
 import json, sys, datetime
