@@ -31,6 +31,22 @@ from . import ply as plyio
 PARAM_NAMES = ("xyz", "features_dc", "features_rest", "scaling", "rotation", "opacity")
 
 
+def resolve_backend(backend: str) -> str:
+    """'auto' -> 'pallas' on accelerator platforms, 'tiled' (XLA) on CPU.
+
+    The Pallas kernels are the fast path on real TPUs (including the
+    remote 'axon' platform, whose default_backend() is NOT 'tpu' — a
+    literal == 'tpu' check silently routed real-chip training through the
+    XLA path); on CPU they would need interpret mode, so the XLA
+    segmented-scan path is the default there. Stable per process (the
+    platform never changes), so jit cache keys may use the resolved
+    value."""
+    if backend == "auto":
+        import jax
+        return "pallas" if jax.default_backend() != "cpu" else "tiled"
+    return backend
+
+
 def inverse_sigmoid(x):
     return jnp.log(x / (1.0 - x))
 
@@ -38,7 +54,7 @@ def inverse_sigmoid(x):
 class GaussianModel:
     """Standard 3DGS model (max SH degree `sh_degree`, default 3)."""
 
-    def __init__(self, sh_degree: int = 3, render_backend: str = "tiled"):
+    def __init__(self, sh_degree: int = 3, render_backend: str = "auto"):
         self.max_sh_degree = int(sh_degree)
         self.active_sh_degree = int(sh_degree)
         self.scale_modifier = 1.0
@@ -234,7 +250,8 @@ class GaussianModel:
         """Functional render from an explicit parameter pytree."""
         settings = self.render_settings(camera)
         args = self.render_array_args(params, aux)
-        if self.render_backend == "reference":
+        backend = resolve_backend(self.render_backend)
+        if backend == "reference":
             return render_reference(*args, settings, alive=alive,
                                     mean2d_offset_ndc=mean2d_offset_ndc,
                                     with_stats=with_stats)
@@ -242,7 +259,7 @@ class GaussianModel:
                             mean2d_offset_ndc=mean2d_offset_ndc,
                             with_stats=with_stats,
                             key_buffer_size=key_buffer_size or self._key_buffer_size,
-                            use_pallas=(self.render_backend == "pallas"))
+                            use_pallas=(backend == "pallas"))
 
     def render_band(self, params, settings, *, aux=None, alive=None,
                     tile_row_offset, tile_rows: int,
@@ -257,7 +274,7 @@ class GaussianModel:
         so every model family shards the same way."""
         args = self.render_array_args(params, aux)
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            use_pallas = resolve_backend("auto") == "pallas"
         return render_tiled(*args, settings, alive=alive,
                             mean2d_offset_ndc=mean2d_offset_ndc,
                             with_stats=with_stats,
@@ -276,7 +293,7 @@ class GaussianModel:
         if cache is None:
             cache = self._jit_render_cache = {}
         key = (with_stats, key_buffer_size, has_alive, image_hw, sh_degree,
-               self.render_backend, self.capacity)
+               resolve_backend(self.render_backend), self.capacity)
         if key not in cache:
             import jax as _jax
 

@@ -80,16 +80,47 @@ BIG = 2 ** 30  # python int: jnp constants at module scope would be traced captu
 # ~12% step win (SWEEP_r04.json re-measures and commits this).
 SCAN_MODE = _os.environ.get("R3DGS_SCAN", "mxu")
 # MXU pass count for the triangular-scan matmuls. The operands are an f32
-# [P,C] block against a 0/1 matrix: the 0/1 side is EXACT in bf16, so the
-# f32x3 decomposition of the other side (HIGH, 3 passes) already reproduces
-# the f32 sum to ~1e-7 relative — HIGHEST (6 passes) buys nothing here but
-# doubles the MXU time of the scan stage (1 fwd + 2 bwd matmuls per grid
-# step ~ 100+ GFLOP/frame at bench scale). Knob for on-chip A/B.
+# [P,C] block against a 0/1 matrix: the 0/1 side is EXACT in bf16, so a
+# 3-pass f32x3 decomposition of the other side would already reproduce the
+# f32 sum — but Mosaic has NO lowering for Precision.HIGH inside Pallas
+# kernels (NotImplementedError at trace time on v5e; "high" briefly shipped
+# as the default and broke every mxu-scan compile on chip). "tri3" instead
+# decomposes the f32 operand into three bf16 terms MANUALLY and issues
+# three bf16 matmuls — HIGH's arithmetic without the unsupported lowering.
+# Default "highest" (6 passes): the r03 sweep's measured winner config.
+TRI_MODE = _os.environ.get("R3DGS_TRI_PRECISION", "highest")
 TRI_PRECISION = {
     "highest": jax.lax.Precision.HIGHEST,
-    "high": jax.lax.Precision.HIGH,
+    "tri3": jax.lax.Precision.DEFAULT,      # precision handled manually
     "default": jax.lax.Precision.DEFAULT,
-}[_os.environ.get("R3DGS_TRI_PRECISION", "high")]
+}[TRI_MODE]
+
+
+def _tri_dot(x, tri, contract_tri_dim: int):
+    """x [P,C] contracted with the 0/1 triangular matrix on the MXU.
+
+    contract_tri_dim=1: exclusive-prefix orientation (tri[c, j], sum over
+    j); 0: strict-suffix orientation. In "tri3" mode x is split into three
+    bf16 terms (x = hi + mid + lo exactly in f32) and contracted term-wise
+    in bf16 — the 0/1 side is exact in bf16, so the three f32-accumulated
+    bf16 matmuls reproduce the f32 contraction (Precision.HIGH semantics,
+    which Mosaic cannot lower natively) at half the MXU passes of HIGHEST."""
+    dims = (((1,), (contract_tri_dim,)), ((), ()))
+    if TRI_MODE != "tri3":
+        return jax.lax.dot_general(x, tri, dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=TRI_PRECISION)
+    hi = x.astype(jnp.bfloat16)
+    rem = x - hi.astype(jnp.float32)
+    mid = rem.astype(jnp.bfloat16)
+    lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    tri_b = tri.astype(jnp.bfloat16)
+    out = None
+    for term in (hi, mid, lo):
+        d = jax.lax.dot_general(term, tri_b, dims,
+                                preferred_element_type=jnp.float32)
+        out = d if out is None else out + d
+    return out
 # Backward reduction strategy: "1" collapses the ten per-entry reductions
 # (gx, gy, gA, gB, gC, dop + four color grads) into TWO small MXU matmuls —
 # a [6,P]@[P,C] tile-relative pixel-moment contraction and a [4,P]@[P,C]
@@ -295,10 +326,7 @@ def _fwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
             # (exp of log1p sums), so the saved final_T seeds it without
             # representation mismatch.
             l1m = jnp.log1p(-abar)                           # 0 where gated out
-            lex = jax.lax.dot_general(
-                l1m, tri_ref[:, :], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=TRI_PRECISION)                     # excl prefix
+            lex = _tri_dot(l1m, tri_ref[:, :], 1)            # excl prefix
             T_in = T * jnp.exp(lex)
             trigger = gate & (T_in * one_m < config.T_EPS)
         else:
@@ -495,10 +523,7 @@ def _bwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
         #               = T_end * exp(prefix_exclusive_k - total)
         tot_log = jnp.sum(log1ma, axis=1, keepdims=True)    # [P,1]
         if SCAN_MODE == "mxu":
-            prefix_ex = jax.lax.dot_general(
-                log1ma, tri_ref[:, :], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=TRI_PRECISION)
+            prefix_ex = _tri_dot(log1ma, tri_ref[:, :], 1)
         else:
             prefix_ex = _cumsum_lanes(log1ma, exclusive=True)
         T_in = T_end * jnp.exp(prefix_ex - tot_log)         # T before entry
@@ -513,7 +538,7 @@ def _bwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
             gcol = jax.lax.dot_general(
                 g4, w, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=TRI_PRECISION)                     # [4,C]
+                precision=jax.lax.Precision.HIGHEST)         # [4,C]
             g_r, g_g, g_b, g_d = (gcol[0:1], gcol[1:2], gcol[2:3],
                                   gcol[3:4])
         else:
@@ -530,10 +555,7 @@ def _bwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
         if SCAN_MODE == "mxu":
             # Strict suffix sum = same triangular matrix contracted on its
             # OTHER axis (tri[j, c] = c < j).
-            S_after = jax.lax.dot_general(
-                wc, tri_ref[:, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=TRI_PRECISION) + S
+            S_after = _tri_dot(wc, tri_ref[:, :], 0) + S
         else:
             prefix_incl_wc = _cumsum_lanes(wc)
             S_after = (tot_wc - prefix_incl_wc) + S          # [P,C]
@@ -567,7 +589,7 @@ def _bwd_kernel(step_chunk, step_tile, step_lo, step_hi, row_off,  # prefetch
             mom = jax.lax.dot_general(
                 Mt, dpower, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=TRI_PRECISION)                     # [6,C]
+                precision=jax.lax.Precision.HIGHEST)         # [6,C]
             m1, mu, mv = mom[0:1], mom[1:2], mom[2:3]
             muu, mvv, muv = mom[3:4], mom[4:5], mom[5:6]
             tx = ((t % tiles_x) * config.BLOCK_X).astype(jnp.float32)

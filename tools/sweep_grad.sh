@@ -24,18 +24,26 @@ run() {
   echo "{\"tag\": \"$tag\", \"env\": \"$*\", \"k\": \"${kline:-}\", \"result\": ${line:-null}}" >> "$TMP"
   echo "$tag -> ${line:-FAILED}  ${kline:-}" >&2
 }
-run align1_c256_ladder R3DGS_ALIGN=1 R3DGS_CHUNK=256 R3DGS_SCAN=ladder
+# FAST=1 trims to the decisive configs (defaults + the new-variant A/Bs)
+# when TPU wall-clock is the binding constraint.
+run align0_c256_mxu    R3DGS_ALIGN=0 R3DGS_CHUNK=256 R3DGS_SCAN=mxu
 run align0_c256_ladder R3DGS_ALIGN=0 R3DGS_CHUNK=256 R3DGS_SCAN=ladder
+if [ "${FAST:-0}" != "1" ]; then
+run align1_c256_ladder R3DGS_ALIGN=1 R3DGS_CHUNK=256 R3DGS_SCAN=ladder
 run align1_c512_ladder R3DGS_ALIGN=1 R3DGS_CHUNK=512 R3DGS_SCAN=ladder
 run align0_c512_ladder R3DGS_ALIGN=0 R3DGS_CHUNK=512 R3DGS_SCAN=ladder
 run align1_c256_mxu    R3DGS_ALIGN=1 R3DGS_CHUNK=256 R3DGS_SCAN=mxu
-run align0_c256_mxu    R3DGS_ALIGN=0 R3DGS_CHUNK=256 R3DGS_SCAN=mxu
 run align1_c512_mxu    R3DGS_ALIGN=1 R3DGS_CHUNK=512 R3DGS_SCAN=mxu
 run align0_c512_mxu    R3DGS_ALIGN=0 R3DGS_CHUNK=512 R3DGS_SCAN=mxu
 run best_sort_packed   R3DGS_ALIGN=0 R3DGS_CHUNK=256 R3DGS_SCAN=mxu R3DGS_SORT=packed
 run best_emit_carry    R3DGS_ALIGN=0 R3DGS_CHUNK=256 R3DGS_SCAN=mxu R3DGS_EMISSION=carry
-run best_tri_highest   R3DGS_ALIGN=0 R3DGS_CHUNK=256 R3DGS_SCAN=mxu R3DGS_TRI_PRECISION=highest
+fi
+# tri3 = manual bf16x3 decomposition (HIGH's arithmetic at half HIGHEST's
+# passes; Mosaic can't lower Precision.HIGH natively); default = 1-pass
+# bf16 (speed ceiling of the scan stage, precision NOT production-safe).
+run best_tri3          R3DGS_ALIGN=0 R3DGS_CHUNK=256 R3DGS_SCAN=mxu R3DGS_TRI_PRECISION=tri3
 run best_tri_default   R3DGS_ALIGN=0 R3DGS_CHUNK=256 R3DGS_SCAN=mxu R3DGS_TRI_PRECISION=default
+run moments_tri3       R3DGS_ALIGN=0 R3DGS_CHUNK=256 R3DGS_SCAN=mxu R3DGS_BWD_MOMENTS=1 R3DGS_TRI_PRECISION=tri3
 # CHUNK=128 halves the tri-matmul MACs per entry (the scan is O(CHUNK) per
 # pixel-entry pair) at the cost of ~1.5x more grid steps; c512 measuring
 # WORSE in r03 says the scan term is real, so probe the other direction.

@@ -8,16 +8,16 @@ mkdir -p "$LOG"
 cd /root/repo
 
 echo "[$(date +%T)] bisect_body (shipped defaults)" >&2
-timeout 1800 python tools/bisect_body.py --steps 20 \
+timeout 2700 python tools/bisect_body.py --steps 20 \
   > BISECT_r04.json 2> "$LOG/bisect_body.err"
 echo "[$(date +%T)] bisect_body rc=$? $(tail -c 300 BISECT_r04.json)" >&2
 
 echo "[$(date +%T)] sweep_grad" >&2
-timeout 7200 bash tools/sweep_grad.sh SWEEP_r04.json 2> "$LOG/sweep.err"
+FAST=1 timeout 7200 bash tools/sweep_grad.sh SWEEP_r04.json 2> "$LOG/sweep.err"
 echo "[$(date +%T)] sweep rc=$?" >&2
 
 echo "[$(date +%T)] kbench (defaults)" >&2
-timeout 1800 python tools/kbench.py > KBENCH_r04.json 2> "$LOG/kbench.err"
+timeout 2700 python tools/kbench.py > KBENCH_r04.json 2> "$LOG/kbench.err"
 echo "[$(date +%T)] kbench rc=$? $(tail -c 300 KBENCH_r04.json)" >&2
 
 echo "[$(date +%T)] profile_events" >&2
