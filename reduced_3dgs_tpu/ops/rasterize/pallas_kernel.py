@@ -87,8 +87,11 @@ SCAN_MODE = _os.environ.get("R3DGS_SCAN", "mxu")
 # as the default and broke every mxu-scan compile on chip). "tri3" instead
 # decomposes the f32 operand into three bf16 terms MANUALLY and issues
 # three bf16 matmuls — HIGH's arithmetic without the unsupported lowering.
-# Default "highest" (6 passes): the r03 sweep's measured winner config.
-TRI_MODE = _os.environ.get("R3DGS_TRI_PRECISION", "highest")
+# Default "tri3": the r04 on-chip sweep measured grad(base) 55.6 ms vs
+# highest's 60.7 on the 200k bench scene (SWEEP_r04.json) with f32-faithful
+# scan arithmetic; "default" (1-pass bf16) measured 52.5 but its scan
+# precision is not production-safe.
+TRI_MODE = _os.environ.get("R3DGS_TRI_PRECISION", "tri3")
 TRI_PRECISION = {
     "highest": jax.lax.Precision.HIGHEST,
     "tri3": jax.lax.Precision.DEFAULT,      # precision handled manually

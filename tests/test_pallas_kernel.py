@@ -84,7 +84,7 @@ def test_pallas_viewport_band():
                                atol=1e-4)
 
 
-@pytest.mark.parametrize("scan_mode", ["ladder", "mxu"])
+@pytest.mark.parametrize("scan_mode", ["ladder", "mxu", "mxu-tri3"])
 def test_pallas_scan_modes_match_xla(scan_mode, monkeypatch):
     """Both within-chunk scan strategies (VPU rotate ladder and log-space
     MXU triangular matmul) must match the XLA path for render AND
@@ -92,7 +92,13 @@ def test_pallas_scan_modes_match_xla(scan_mode, monkeypatch):
     SCAN_MODE is read at trace time, so monkeypatch + cache clear re-bakes
     the kernels (ADVICE r03: mxu previously had zero CI coverage)."""
     from reduced_3dgs_tpu.ops.rasterize import pallas_kernel as pk
-    monkeypatch.setattr(pk, "SCAN_MODE", scan_mode)
+    if scan_mode == "mxu-tri3":
+        # tri3's manual bf16x3 decomposition executes as real ops even in
+        # interpret mode, so this parametrization covers its arithmetic.
+        monkeypatch.setattr(pk, "SCAN_MODE", "mxu")
+        monkeypatch.setattr(pk, "TRI_MODE", "tri3")
+    else:
+        monkeypatch.setattr(pk, "SCAN_MODE", scan_mode)
     jax.clear_caches()
     try:
         s = make_settings(32, 32, bg=(1.0, 1.0, 1.0))
