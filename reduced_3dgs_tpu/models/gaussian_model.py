@@ -40,10 +40,14 @@ def resolve_backend(backend: str) -> str:
     XLA path); on CPU they would need interpret mode, so the XLA
     segmented-scan path is the default there. Stable per process (the
     platform never changes), so jit cache keys may use the resolved
-    value."""
+    value. The Pallas kernels are TPU/Mosaic-specific (SMEM scratch,
+    scalar prefetch): on a non-TPU accelerator backend (cuda/rocm) they
+    would fail at lowering, so anything that is not TPU-like falls back
+    to the XLA tiled path."""
     if backend == "auto":
         import jax
-        return "pallas" if jax.default_backend() != "cpu" else "tiled"
+        plat = jax.default_backend()
+        return "pallas" if plat in ("tpu", "axon") else "tiled"
     return backend
 
 

@@ -92,11 +92,18 @@ SCAN_MODE = _os.environ.get("R3DGS_SCAN", "mxu")
 # scan arithmetic; "default" (1-pass bf16) measured 52.5 but its scan
 # precision is not production-safe.
 TRI_MODE = _os.environ.get("R3DGS_TRI_PRECISION", "tri3")
-TRI_PRECISION = {
+if TRI_MODE == "high":          # docs/back-compat alias for the 3-pass mode
+    TRI_MODE = "tri3"
+_TRI_PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
     "tri3": jax.lax.Precision.DEFAULT,      # precision handled manually
     "default": jax.lax.Precision.DEFAULT,
-}[TRI_MODE]
+}
+if TRI_MODE not in _TRI_PRECISIONS:
+    raise ValueError(
+        f"R3DGS_TRI_PRECISION={TRI_MODE!r}: valid values are "
+        f"{sorted(_TRI_PRECISIONS)} (or 'high', an alias for 'tri3')")
+TRI_PRECISION = _TRI_PRECISIONS[TRI_MODE]
 
 
 def _tri_dot(x, tri, contract_tri_dim: int):

@@ -105,7 +105,10 @@ def sphere_ellipsoid_intersection(
         return val < 1.0
 
     from .knn import _row_chunk_for
-    chunk = _row_chunk_for(k)
+    # The rotation branch also materializes quat_to_rotmat [rows,K,3,3]
+    # (~9x the gather bytes of the default branch): scale the row budget
+    # so THAT branch's padded intermediates stay within budget too.
+    chunk = _row_chunk_for(k * (9 if use_neighbour_rotation else 1))
     if n <= chunk:
         mask = rows((xyz, sphere_radius, neighbour_indices,
                      Rq if Rq is not None else jnp.zeros((n, 3, 3))))

@@ -44,18 +44,19 @@ def _metric_body(xyz, scaling, rotation, alive, full_proj, inv_proj,
 
     _, indices = knn(xyz, k, mask=alive)
 
-    counts, mask = sphere_ellipsoid_intersection(
+    _, mask = sphere_ellipsoid_intersection(
         xyz, scaling, rotation, indices, half_diagonal)
-    # the point itself was not counted: +1 (reference :36)
-    counts = counts + 1
-
     # A window under-filled with live points can return dead/garbage
-    # neighbours (inf distance but real indices): gate contributions by
-    # BOTH endpoints' liveness.
+    # neighbours (inf distance but real indices): gate by BOTH endpoints'
+    # liveness BEFORE counting, so stale dead rows can neither inflate a
+    # live point's redundancy count nor spread through the segment-min.
+    mask = mask & alive[:, None] & alive[indices]
+    # the point itself was not counted: +1 (reference :36)
+    counts = jnp.sum(mask, axis=1).astype(jnp.int32) + 1
+
     self_idx = jnp.arange(c, dtype=jnp.int32)[:, None]
     indices_full = jnp.concatenate([self_idx, indices], axis=1)
-    mask_full = jnp.concatenate(
-        [alive[:, None], mask & alive[:, None] & alive[indices]], axis=1)
+    mask_full = jnp.concatenate([alive[:, None], mask], axis=1)
 
     min_redundancy = allocate_minimum_redundancy_value(
         counts, indices_full, mask_full, num_points=c)

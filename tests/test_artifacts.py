@@ -66,12 +66,40 @@ def test_perf_artifacts_committed():
     Enforced from round 4 on (the tools predate the contract)."""
     if _latest("BENCH_r04.json") is None:
         pytest.skip("round 4 bench not recorded yet (fresh clone/branch)")
-    for pattern, tool in [("SWEEP_r*.json", "tools/sweep_grad.sh"),
-                          ("BISECT_r0[4-9]*.json", "tools/bisect_body.py"),
-                          ("EVENTS_r*.json", "tools/profile_events.py")]:
-        if os.path.exists(os.path.join(ROOT, tool)):
-            assert _latest(pattern) is not None, (
-                f"{tool} exists but no committed {pattern} artifact")
+    # (pattern, tool, key that must be present and non-trivial): an
+    # artifact committed as an empty/placeholder file must FAIL, not pass
+    # on mere existence (VERDICT r04 Weak #5 — a 0-byte EVENTS_r04.json
+    # satisfied the old existence-only check).
+    for pattern, tool, key in [
+            ("SWEEP_r*.json", "tools/sweep_grad.sh", "best"),
+            ("BISECT_r0[4-9]*.json", "tools/bisect_body.py", "sanity_ok"),
+            ("EVENTS_r*.json", "tools/profile_events.py",
+             "event_overhead_frac")]:
+        if not os.path.exists(os.path.join(ROOT, tool)):
+            continue
+        path = _latest(pattern)
+        assert path is not None, (
+            f"{tool} exists but no committed {pattern} artifact")
+        with open(path) as f:
+            d = json.load(f)   # raises on empty/truncated commits
+        assert d and d.get(key) is not None, (
+            f"{os.path.basename(path)} is missing {key!r} — committed "
+            f"without the measurement?")
+
+
+def test_event_overhead_bar():
+    """From round 5 on, the amortized reduction-event overhead must stay
+    within 15% of total step time at bench scale (VERDICT r04 #1: events
+    measured at 3.46x the steps in round 4)."""
+    path = _latest("EVENTS_r0[5-9]*.json")
+    if path is None:
+        pytest.skip("no committed r05+ events artifact yet")
+    with open(path) as f:
+        d = json.load(f)
+    frac = d.get("event_overhead_frac")
+    assert frac is not None and frac <= 0.15, (
+        f"{os.path.basename(path)}: event_overhead_frac={frac} "
+        f"exceeds the 0.15 bar")
 
 
 def test_bisect_artifact_sane():

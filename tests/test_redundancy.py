@@ -134,3 +134,48 @@ def test_mercy_points_policies():
     assert 0 < mask[40:].sum() <= 5
     mask_o = np.asarray(mercy_points(m, counts, mercy_type="opacity"))
     assert 0 < mask_o.sum() <= 5  # 4.5% quantile of 50 points
+
+
+def _model_from(cloud, n):
+    from reduced_3dgs_tpu.models import GaussianModel
+    m = GaussianModel(3)
+    m.set_parameters(dict(
+        xyz=cloud["xyz"][:n], features_dc=cloud["features"][:n, :1],
+        features_rest=cloud["features"][:n, 1:], scaling=cloud["scaling"][:n],
+        rotation=cloud["rotation"][:n], opacity=cloud["opacity"][:n]))
+    return m
+
+
+def test_mercy_gaussians_capacity_padded_matches_live_prefix():
+    """The capacity-static mercy path (alive-only statistics, dead-row
+    gating) must agree with mercy_points(calculate_redundancy_metric(...))
+    computed on a live-only model, for every mercy_type — the dead rows
+    are filled with garbage at REAL coordinates (compaction leftovers)."""
+    from reduced_3dgs_tpu.pruning import (calculate_redundancy_metric,
+                                          mercy_points)
+    from reduced_3dgs_tpu.pruning.trainer import mercy_gaussians
+    from reduced_3dgs_tpu.dataset import CameraDataset, build_camera
+    from .helpers import random_cloud
+
+    n, cap = 40, 56
+    cloud = random_cloud(jax.random.PRNGKey(7), cap)
+    ds = CameraDataset([build_camera(image_height=32, image_width=32,
+                                     FoVx=1.0, FoVy=1.0)])
+
+    live = _model_from(cloud, n)
+    metric, _ = calculate_redundancy_metric(live, ds)
+
+    padded = _model_from(cloud, cap)   # rows n..cap = garbage at real coords
+    padded._n_alive = n
+    assert padded.capacity == cap and padded.num_points == n
+
+    for mercy_type in ("redundancy_opacity", "redundancy_random",
+                       "opacity", "redundancy_opacity_opacity"):
+        want = np.asarray(mercy_points(
+            live, metric, lambda_mercy=1.0, mercy_minimum=3,
+            mercy_type=mercy_type))
+        got = np.asarray(mercy_gaussians(
+            padded, ds, lambda_mercy=1.0, mercy_minimum=3,
+            mercy_type=mercy_type))
+        assert got.shape == (n,)
+        np.testing.assert_array_equal(got, want, err_msg=mercy_type)
