@@ -126,3 +126,31 @@ def camera_from_json(entry: dict, **overrides) -> Camera:
         FoVx=fovx, FoVy=fovy, R=R, T=T)
     kwargs.update(overrides)
     return build_camera(**kwargs)
+
+
+def strip_images(camera: Camera) -> Camera:
+    """Drop the (large, sweep-irrelevant) image payloads from a camera."""
+    return camera.replace(ground_truth_image=None,
+                          ground_truth_image_mask=None,
+                          ground_truth_depth=None)
+
+
+def stackable(cameras) -> bool:
+    """True when the cameras share static shape fields, so their traced
+    leaves can be stacked into one batched pytree for a lax.scan sweep."""
+    cams = list(cameras)
+    if len(cams) < 2:
+        return len(cams) == 1
+    h, w = cams[0].image_height, cams[0].image_width
+    return all(c.image_height == h and c.image_width == w for c in cams)
+
+
+def stack_cameras(cameras) -> Camera:
+    """Stack same-resolution cameras into one batched Camera pytree
+    (leading axis = camera) for single-dispatch lax.scan sweeps: a
+    per-camera dispatch loop pays one remote-tunnel round trip per camera
+    (~25 ms measured on the axon v5e link) — 250-camera sweeps must be ONE
+    program. Image payloads are stripped (sweeps do not read them)."""
+    import jax
+    cams = [strip_images(c) for c in cameras]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *cams)

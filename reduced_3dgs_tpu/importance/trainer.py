@@ -49,10 +49,7 @@ def prune_list(model: GaussianModel, dataset: CameraDataset,
     if mesh is not None:
         from ..parallel.stats import sharded_prune_list
         return sharded_prune_list(model, dataset, mesh, resize)
-    n = model.capacity
-    gaussian_count = jnp.zeros((n,), jnp.int32)
-    opacity_score = jnp.zeros((n,), jnp.float32)
-    t_alpha_score = jnp.zeros((n,), jnp.float32)
+    cams = []
     for camera in dataset:
         if resize is not None:
             height, width = camera.image_height, camera.image_width
@@ -61,12 +58,85 @@ def prune_list(model: GaussianModel, dataset: CameraDataset,
                 image_height=int(height * scale), image_width=int(width * scale),
                 FoVx=float(camera.FoVx), FoVy=float(camera.FoVy),
                 R=camera.R, T=camera.T)
+        cams.append(camera)
+
+    from ..dataset.camera import stack_cameras, stackable
+    m = model.num_points
+    if len(cams) > 1 and stackable(cams):
+        # ONE jitted scan over the stacked dataset: the per-camera loop
+        # paid a remote-tunnel round trip PER CAMERA (~25 ms on the axon
+        # v5e link — the overflow check in model.forward is a host sync),
+        # which dominated the 6x250-camera importance sweeps.
+        gc, osc, tas = _sweep_counts(model, cams)
+        return gc[:m], osc[:m], tas[:m]
+
+    n = model.capacity
+    gaussian_count = jnp.zeros((n,), jnp.int32)
+    opacity_score = jnp.zeros((n,), jnp.float32)
+    t_alpha_score = jnp.zeros((n,), jnp.float32)
+    for camera in cams:
         out = count_render(model, camera)
         gaussian_count = gaussian_count + out["gaussians_count"]
         opacity_score = opacity_score + out["opacity_important_score"]
         t_alpha_score = t_alpha_score + out["T_alpha_important_score"]
-    m = model.num_points
     return gaussian_count[:m], opacity_score[:m], t_alpha_score[:m]
+
+
+_SWEEP_CACHE: "weakref.WeakKeyDictionary" = None
+
+
+def _sweep_counts(model: GaussianModel, cams):
+    """Scanned counting sweep with end-of-sweep overflow regrow."""
+    global _SWEEP_CACHE
+    import weakref
+    import jax
+    from ..dataset.camera import stack_cameras
+    from ..models.gaussian_model import default_key_buffer_size
+
+    if _SWEEP_CACHE is None:
+        _SWEEP_CACHE = weakref.WeakKeyDictionary()
+    per_model = _SWEEP_CACHE.setdefault(model, {})
+
+    cam0 = cams[0]
+    stacked = stack_cameras(cams)
+    aux = model.aux_state()
+    alive = model.alive_mask
+    while True:
+        kb = model._key_buffer_size
+        key = (kb, alive is not None,
+               (cam0.image_height, cam0.image_width),
+               model.active_sh_degree)
+        fn = per_model.get(key)
+        if fn is None:
+            @jax.jit
+            def fn(params, aux, cams_st, alive):
+                n = params["xyz"].shape[0]
+                init = (jnp.zeros((n,), jnp.int32),
+                        jnp.zeros((n,), jnp.float32),
+                        jnp.zeros((n,), jnp.float32),
+                        jnp.zeros((), bool))
+                def body(carry, cam):
+                    out = model.render(params, cam, aux=aux, alive=alive,
+                                       with_stats=True, key_buffer_size=kb)
+                    gc, osc, tas, ovf = carry
+                    ovf = ovf | jnp.asarray(
+                        out.get("overflow", False), bool)
+                    return (gc + out["gaussians_count"],
+                            osc + out["opacity_important_score"],
+                            tas + out["T_alpha_important_score"], ovf), None
+                return jax.lax.scan(body, init, cams_st)[0]
+            per_model[key] = fn
+        gc, osc, tas, ovf = fn(model.parameters(), aux, stacked, alive)
+        if not bool(ovf):
+            return gc, osc, tas
+        # same doubling policy as GaussianModel.forward
+        tiles = ((-(-cam0.image_width // 16))
+                 * (-(-cam0.image_height // 16)))
+        cur = kb or default_key_buffer_size(
+            model.capacity, -(-cam0.image_width // 16),
+            -(-cam0.image_height // 16))
+        model._key_buffer_size = min(cur * 2,
+                                     max(model.num_points, 1) * tiles)
 
 
 def calculate_v_imp_score(gaussians: GaussianModel, imp_list, v_pow: float):

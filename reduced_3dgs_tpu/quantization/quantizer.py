@@ -60,7 +60,8 @@ class VectorQuantizer(AbstractQuantizer):
             max_sh_degree: int = 3,
             force_code_dtype: Optional[str] = None,
             force_codebook_dtype: str = "f4",
-            tol: float = 1e-6, max_iter: int = 500, seed: int = 0):
+            tol: float = 1e-4, max_iter: int = 300,
+            warm_max_iter: int = 25, seed: int = 0):
         self.num_clusters_rotation_re = num_clusters_rotation_re or num_clusters
         self.num_clusters_rotation_im = num_clusters_rotation_im or num_clusters
         self.num_clusters_opacity = num_clusters_opacity or num_clusters
@@ -74,15 +75,23 @@ class VectorQuantizer(AbstractQuantizer):
         self.force_codebook_dtype = force_codebook_dtype
         self.tol = tol
         self.max_iter = max_iter
+        # Warm in-training updates (every 1000 steps on the flagship
+        # schedule) start from the previous codebook, so a handful of Lloyd
+        # rounds suffices; tol/max_iter defaults match sklearn KMeans, the
+        # engine behind the reference's quantizer (quantizer.py:7-15).
+        self.warm_max_iter = warm_max_iter
         self.seed = seed
         self._codebook_dict: Dict[str, jnp.ndarray] = {}
 
     # --- core K-Means plumbing (reference :73-91) ---------------------------
     def generate_codebook(self, values, num_clusters, init_codebook=None):
+        warm = (init_codebook is not None
+                and init_codebook.shape[0] >= int(num_clusters))
         centers, ids = kmeans(jnp.asarray(values), int(num_clusters),
                               init_centers=None if init_codebook is None
                               else jnp.asarray(init_codebook),
-                              max_iter=self.max_iter, tol=self.tol,
+                              max_iter=self.warm_max_iter if warm
+                              else self.max_iter, tol=self.tol,
                               seed=self.seed)
         return centers, ids
 

@@ -111,15 +111,21 @@ def main():
 
     results = []
     chosen = None
-    for window, n_orders, refine in ((256, 2, 0), (256, 3, 0), (128, 2, 1),
-                                     (128, 2, 2), (256, 2, 1), (256, 2, 2),
-                                     (256, 3, 1), (256, 3, 2), (384, 3, 2),
-                                     # the >=0.95 region that produced the
-                                     # baked ops/knn.py defaults
-                                     (256, 3, 3), (256, 3, 4)):
+    # (block, n_orders, refine_rounds, neighbors) over the blocked search
+    # (r05 rewrite: block size `window`, `neighbors` adjacent blocks per
+    # side, optional sampled NN-descent refine).
+    for window, n_orders, refine, nbh in (
+            (512, 2, 2, 1),      # shipped default (ops/knn.py knn())
+            (512, 4, 0, 1), (512, 3, 1, 1), (512, 4, 1, 1),
+            (512, 3, 2, 1), (1024, 4, 1, 1)):
+        import jax as _jax
+        fn = _jax.jit(lambda p, w=window, o=n_orders, r=refine, b=nbh:
+                      knn(p, args.k, window=w, n_orders=o,
+                          refine_rounds=r, neighbors=b))
+        _, idx = fn(pts)       # compile + first run
+        idx.block_until_ready()
         t0 = time.time()
-        _, idx = knn(pts, args.k, window=window, n_orders=n_orders,
-                     refine_rounds=refine)
+        _, idx = fn(pts + np.float32(1e-6))   # defeat the axon result cache
         idx = np.asarray(idx)
         dt = time.time() - t0
         hits = sum(
@@ -127,7 +133,7 @@ def main():
             for j in range(len(qidx)))
         recall = hits / (len(qidx) * args.k)
         row = {"window": window, "n_orders": n_orders,
-               "refine_rounds": refine,
+               "refine_rounds": refine, "neighbors": nbh,
                "recall_at_k": round(recall, 4), "seconds": round(dt, 2)}
         results.append(row)
         print(row, flush=True)
