@@ -171,41 +171,58 @@ def main():
     # --- flagship steady-state step (VERDICT r02 #8): the product is the
     # densify-pruning-shculling onion; its per-step cost (accumulators
     # live, no event in the timed window) is the 30k-iteration number.
+    #
+    # Methodology (VERDICT r04 Weak #3): the r04 bench compared a flagship
+    # timed LATE in the training trajectory against a bare step timed
+    # EARLY — num_rendered drifts as the scene trains, so the 15.6 ms
+    # "overhead" conflated wrapper cost with workload drift. Both are now
+    # rebuilt from the SAME parameter snapshot and timed back to back; the
+    # gate is flagship <= bare + 3 ms on those paired numbers.
     flagship_ms = None
+    bare_paired_ms = None
+    flagship_gate_ok = None
     if os.environ.get("BENCH_FLAGSHIP", "1") == "1":
         from reduced_3dgs_tpu.prepare import modes
+        snap = {k: jnp.array(v) for k, v in model.parameters().items()}
+
+        def timed_fused(tr):
+            tr.model.active_sh_degree = 3
+            for _ in range(130):
+                _, o = tr.step(cam)
+            jax.block_until_ready(o["render"])
+            fk = tr.max_window(window) if window > 1 else 1
+            if fk > 1:
+                fcams = [cam] * fk
+                for _ in range(3):
+                    fl, _ = tr.step_many(fcams)
+                jax.block_until_ready(fl[-1])
+                n_win = max(STEPS // fk, 3)
+                t0 = time.perf_counter()
+                for _ in range(n_win):
+                    fl, _ = tr.step_many(fcams)
+                jax.block_until_ready(fl[-1])
+                return (time.perf_counter() - t0) / (n_win * fk) * 1e3
+            t0 = time.perf_counter()
+            for _ in range(STEPS):
+                _, o = tr.step(cam)
+            jax.block_until_ready(o["render"])
+            return (time.perf_counter() - t0) / STEPS * 1e3
+
+        bmodel = VariableSHGaussianModel(3, render_backend=backend)
+        bmodel.set_parameters({k: jnp.array(v) for k, v in snap.items()})
+        bmodel.init_degrees()
+        bare_paired_ms = timed_fused(Trainer(bmodel, ds))
+
         fmodel = VariableSHGaussianModel(3, render_backend=backend)
-        fmodel.set_parameters({k: jnp.array(v)
-                               for k, v in model.parameters().items()})
+        fmodel.set_parameters({k: jnp.array(v) for k, v in snap.items()})
         fmodel.init_degrees()
         ftrainer = modes["densify-pruning-shculling"](fmodel, ds)
         # Steady state past the event windows (densify/prune end @15000,
         # importance @20000): only the wrappers' per-step overhead remains.
         ftrainer.curr_step = 25_000
         ftrainer.engine._curr_step = 25_000
-        fmodel.active_sh_degree = 3
-        for _ in range(130):
-            _, fout = ftrainer.step(cam)
-        jax.block_until_ready(fout["render"])
-        if window > 1:
-            # Steady state runs fused windows exactly like train.py.
-            fk = ftrainer.max_window(window)
-            fcams = [cam] * fk
-            for _ in range(3):
-                flosses, _ = ftrainer.step_many(fcams)
-            jax.block_until_ready(flosses[-1])
-            n_win = max(STEPS // fk, 3)
-            t0 = time.perf_counter()
-            for _ in range(n_win):
-                flosses, _ = ftrainer.step_many(fcams)
-            jax.block_until_ready(flosses[-1])
-            flagship_ms = (time.perf_counter() - t0) / (n_win * fk) * 1e3
-        else:
-            t0 = time.perf_counter()
-            for _ in range(STEPS):
-                _, fout = ftrainer.step(cam)
-            jax.block_until_ready(fout["render"])
-            flagship_ms = (time.perf_counter() - t0) / STEPS * 1e3
+        flagship_ms = timed_fused(ftrainer)
+        flagship_gate_ok = bool(flagship_ms <= bare_paired_ms + 3.0)
 
     result = {
         "metric": "train_step_pixels_per_s",
@@ -225,6 +242,11 @@ def main():
             "fused_window": window,
             "flagship_step_ms": (round(flagship_ms, 2)
                                  if flagship_ms is not None else None),
+            "bare_paired_step_ms": (round(bare_paired_ms, 2)
+                                    if bare_paired_ms is not None else None),
+            "flagship_overhead_ms": (round(flagship_ms - bare_paired_ms, 2)
+                                     if flagship_ms is not None else None),
+            "flagship_gate_ok": flagship_gate_ok,
             "num_rendered": num_rendered,
             "device": str(jax.devices()[0]),
         },

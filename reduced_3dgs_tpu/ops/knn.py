@@ -275,40 +275,47 @@ def _order_blocked_topk(pts: jnp.ndarray, valid: Optional[jnp.ndarray],
         packed[:, k:], jnp.int32) & ~tag
 
 
-def _chunked_refine(pts, mask, k, i, row_chunk: int, sample: int,
+def _chunked_refine(pts, mask, k, d, i, row_chunk: int, sample: int,
                     approx: bool):
     """One NN-descent round: candidates = incumbents U neighbours-of-the-
     top-`sample`-incumbents, built PER CHUNK so the padded gather
     intermediates stay bounded (full-table construction costs ~N*k*sample
     ints live at once). The candidate set is (1+sample) internally-
-    duplicate-free k-lists, merged with the pairwise dedup."""
+    duplicate-free k-lists, merged with the pairwise dedup.
+
+    Gather economy (each [R, C] row gather costs ~3 us per 1000 row-cands
+    on v5e, locality-insensitive — measured): incumbent DISTANCES ride in
+    from the previous round instead of being re-gathered, dead points are
+    excluded by their far-corner coordinates rather than a ~mask[flat]
+    bool gather (~340 ms/round at 262k), and query rows arrive as
+    contiguous chunk slices, not an idx_c gather."""
     n = pts.shape[0]
     sample = min(sample, k)
     idx_all = jnp.arange(n, dtype=jnp.int32)
 
     def one(args):
-        idx_c, i_c = args
+        idx_c, p_c, d_c, i_c = args
         r = idx_c.shape[0]
         nn2 = jnp.take(i, i_c[:, :sample], axis=0)         # [R, s, k]
-        cand = jnp.concatenate([i_c[:, None, :], nn2], axis=1)  # [R,1+s,k]
-        flat = cand.reshape(r, (1 + sample) * k)
-        d = pts[idx_c][:, None, :] - pts[flat]             # [R, C, 3]
-        dist = jnp.sum(d * d, axis=-1)
+        flat = nn2.reshape(r, sample * k)
+        df = p_c[:, None, :] - pts[flat]                   # [R, s*k, 3]
+        dist = jnp.sum(df * df, axis=-1)
         invalid = flat == idx_c[:, None]
-        if mask is not None:
-            invalid = invalid | ~mask[flat]
-        dist = jnp.where(invalid, jnp.inf, dist).reshape(
-            r, 1 + sample, k)
-        return _merge_klists(dist, cand, k, approx)
+        dist = jnp.where(invalid, jnp.inf, dist).reshape(r, sample, k)
+        return _merge_klists(
+            jnp.concatenate([d_c[:, None, :], dist], axis=1),
+            jnp.concatenate([i_c[:, None, :], nn2], axis=1), k, approx)
 
     if n <= row_chunk:
-        return one((idx_all, i))
+        return one((idx_all, pts, d, i))
     pad = (-n) % row_chunk
-    idx_p = jnp.pad(idx_all, (0, pad))
-    i_p = jnp.pad(i, ((0, pad), (0, 0)))
     nb = (n + pad) // row_chunk
-    d2, i2 = jax.lax.map(one, (idx_p.reshape(nb, row_chunk),
-                               i_p.reshape(nb, row_chunk, k)))
+
+    def padr(a):
+        return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)).reshape(
+            (nb, row_chunk) + a.shape[1:])
+
+    d2, i2 = jax.lax.map(one, (padr(idx_all), padr(pts), padr(d), padr(i)))
     return d2.reshape(-1, k)[:n], i2.reshape(-1, k)[:n]
 
 
@@ -385,7 +392,7 @@ def knn(points: jnp.ndarray, k: int, window: int = 512,
 
     refine_chunk = min(row_chunk, _row_chunk_for(k + refine_sample * k))
     for _ in range(refine_rounds):
-        d, i = _chunked_refine(pts, mask, k, i, refine_chunk,
+        d, i = _chunked_refine(pts, mask, k, d, i, refine_chunk,
                                refine_sample, approx)
     return d, i
 

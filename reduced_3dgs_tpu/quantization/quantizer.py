@@ -42,8 +42,12 @@ def compute_uint_dtype(n: int) -> str:
     return f"u{max(nbytes, 1)}"
 
 
-def _live(model: GaussianModel, arr) -> np.ndarray:
-    return np.asarray(arr)[: model.num_points]
+def _live(model: GaussianModel, arr) -> jnp.ndarray:
+    """Live-prefix slice ON DEVICE: np.asarray here pulled every attribute
+    through the remote-TPU tunnel each quantize event (~100 MB round trip,
+    measured 20 s/event warm on the axon v5e link); the PLY writers convert
+    to numpy themselves where they actually need host bytes."""
+    return jnp.asarray(arr)[: model.num_points]
 
 
 class VectorQuantizer(AbstractQuantizer):
@@ -102,10 +106,10 @@ class VectorQuantizer(AbstractQuantizer):
 
     # --- per-attribute extraction (reference :93-138) -----------------------
     @staticmethod
-    def _rest_flat(model: GaussianModel, sh_degree: int) -> np.ndarray:
+    def _rest_flat(model: GaussianModel, sh_degree: int) -> jnp.ndarray:
         """[N*3, band_coeffs] channel-major rows of one SH band."""
         fr = _live(model, model._features_rest)                   # [N, M, 3]
-        flat = fr.transpose(0, 2, 1).reshape(-1, fr.shape[1])     # [N*3, M]
+        flat = jnp.transpose(fr, (0, 2, 1)).reshape(-1, fr.shape[1])
         lo, hi = (sh_degree + 1) ** 2 - 1, (sh_degree + 2) ** 2 - 1
         return flat[:, lo:hi]
 
@@ -156,8 +160,14 @@ class VectorQuantizer(AbstractQuantizer):
         return self.one_nearst(_live(model, model._opacity), codebook)
 
     def produce_clusters_scaling(self, model, init_codebook=None):
-        # clustered in activated space; codebook stored in log space
+        # clustered in activated space; codebook stored in log space — so a
+        # warm-start codebook (stored log-space) must be ACTIVATED before
+        # seeding the activated-space K-Means, or the warm start lands far
+        # from the data and converges no faster than cold
         vals = _live(model, model.get_scaling)
+        if init_codebook is not None:
+            init_codebook = model.scaling_activation(
+                jnp.asarray(init_codebook))
         centers, ids = self.generate_codebook(vals, self.num_clusters_scaling,
                                               init_codebook)
         return model.scaling_inverse_activation(centers), ids
@@ -270,7 +280,7 @@ class VectorQuantizer(AbstractQuantizer):
         os.makedirs(os.path.dirname(ply_path) or ".", exist_ok=True)
         ids_dict, codebook_dict = self.quantize(model, update_codebook=False)
         n = model.num_points
-        xyz = _live(model, model._xyz)
+        xyz = np.asarray(_live(model, model._xyz))
 
         fields = OrderedDict()
         fields["x"], fields["y"], fields["z"] = (

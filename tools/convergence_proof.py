@@ -136,7 +136,7 @@ def main():
     ap.add_argument("--noise", type=float, default=None,
                     help="override the preset's GT sensor-noise sigma")
     ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(__file__), "..", "CONVERGENCE_r04.json"))
+        os.path.dirname(__file__), "..", "CONVERGENCE_r05.json"))
     args = ap.parse_args()
     cfg = PRESETS[args.preset]
 

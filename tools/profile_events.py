@@ -47,14 +47,18 @@ def timeit(fn, repeats=3):
 
     The axon remote runtime caches (executable, args) -> result: repeated
     calls with IDENTICAL device arrays return without executing (measured
-    0.1 ms for a 37k-point KNN). Callers must fold `i` into an input."""
-    out = fn(0)
-    jax.block_until_ready(out)
+    0.1 ms for a 37k-point KNN), and block_until_ready alone can return
+    before remote completion — so each timed call ends with a 4-byte
+    scalar readback (costs one ~25 ms tunnel round trip, which real
+    events also pay)."""
+    def sync(out):
+        leaf = jax.tree.leaves(out)[0]
+        return float(jnp.sum(jnp.ravel(leaf)[:1].astype(jnp.float32)))
+    sync(fn(0))
     best = math.inf
     for i in range(1, repeats + 1):
         t0 = time.perf_counter()
-        out = fn(i)
-        jax.block_until_ready(out)
+        sync(fn(i))
         best = min(best, time.perf_counter() - t0)
     return best * 1e3
 
@@ -68,7 +72,9 @@ def main():
                          "(defaults to the last BENCH json's step_ms)")
     args = ap.parse_args()
 
+    print("building bench model...", flush=True)
     model, cam = build()
+    print("model built", flush=True)
     n = model.num_points
     ds = CameraDataset([cam])
     params = model.parameters()
@@ -77,7 +83,11 @@ def main():
     results = {"n_gaussians": int(n),
                "resolution": [int(cam.image_height), int(cam.image_width)],
                "device": str(jax.devices()[0]), "ms": {}}
-    ms = results["ms"]
+    class _Prog(dict):
+        def __setitem__(self, k, v):
+            super().__setitem__(k, v)
+            print(f"[events] {k} = {v}", flush=True)
+    results["ms"] = ms = _Prog()
 
     base_xyz = model._xyz
 
@@ -91,8 +101,8 @@ def main():
     # --- KNN with baked defaults (redundancy metric's search) -------------
     knn_j = jax.jit(lambda p: knn_ops.knn(p, 30))
     ms["knn30_defaults"] = round(timeit(lambda i: knn_j(vary(i))), 1)
-    knn_r2 = jax.jit(lambda p: knn_ops.knn(p, 30, refine_rounds=2))
-    ms["knn30_refine2"] = round(timeit(lambda i: knn_r2(vary(i))), 1)
+    knn_r1 = jax.jit(lambda p: knn_ops.knn(p, 30, refine_rounds=1))
+    ms["knn30_refine1"] = round(timeit(lambda i: knn_r1(vary(i))), 1)
     knn_r0 = jax.jit(lambda p: knn_ops.knn(p, 30, refine_rounds=0))
     ms["knn30_refine0"] = round(timeit(lambda i: knn_r0(vary(i))), 1)
 
@@ -110,20 +120,47 @@ def main():
         return mercy_gaussians(model, ds)
     ms["mercy_event"] = round(timeit(mercy), 1)
 
-    # --- importance counting sweep, per camera ----------------------------
+    # --- importance counting sweep (scanned path), amortized per camera ---
+    # The production path is ONE jitted lax.scan over the stacked dataset
+    # (importance/trainer._sweep_counts): measure a real multi-camera sweep
+    # and divide, so the number includes neither a per-camera tunnel round
+    # trip nor pretends dispatch cost away.
+    import math as _math
+    from reduced_3dgs_tpu.dataset import build_camera as _bc
+    from reduced_3dgs_tpu.importance.trainer import prune_list
+    sweep_n = 10
+    cams = []
+    for j in range(sweep_n):
+        a = 0.02 * (j - sweep_n // 2)
+        import numpy as _np
+        R = _np.array([[_math.cos(a), 0, -_math.sin(a)], [0, 1, 0],
+                       [_math.sin(a), 0, _math.cos(a)]], _np.float32)
+        cams.append(_bc(image_height=cam.image_height,
+                        image_width=cam.image_width,
+                        FoVx=float(cam.FoVx), FoVy=float(cam.FoVy), R=R))
+    sweep_ds = CameraDataset(cams)
+
+    def cnt_sweep(i):
+        vary(i)
+        return prune_list(model, sweep_ds)
+    ms["importance_count_render_per_cam"] = round(
+        timeit(cnt_sweep) / sweep_n, 1)
+
+    # single count_render (dispatch + tunnel round trip included) for
+    # reference against the amortized number
     def cnt(i):
         vary(i)
         return count_render(model, cam)
-    ms["importance_count_render_per_cam"] = round(timeit(cnt), 1)
+    ms["importance_count_render_single_dispatch"] = round(timeit(cnt), 1)
 
-    # --- SH-culling stats, per camera -------------------------------------
+    # --- SH-culling stats (scanned path), amortized per camera ------------
     aux = model.aux_state()
 
     def shc(i):
         p = dict(params, xyz=vary(i))
-        return calculate_colours_variance([cam], model, p,
+        return calculate_colours_variance(cams, model, p,
                                           aux["degrees"], 3)
-    ms["shculling_stats_per_cam"] = round(timeit(shc), 1)
+    ms["shculling_stats_per_cam"] = round(timeit(shc) / sweep_n, 1)
     model._xyz = base_xyz
 
     # --- one full VQ quantize (codebook update + assignment) --------------
@@ -157,16 +194,16 @@ def main():
                + schedule["vq_events"] * ms["vq_quantize_warm"]) / 1e3
     step_ms = args.step_ms
     if step_ms is None:
-        for name in ("BENCH_r03.json", "BENCH_r02.json"):
-            path = os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), name)
-            if os.path.exists(path):
-                with open(path) as f:
-                    d = json.load(f)
-                det = d.get("detail", d.get("parsed", {}).get("detail", {}))
-                if "step_ms" in det:
-                    step_ms = det["step_ms"]
-                    break
+        import glob
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json")),
+                           reverse=True):
+            with open(path) as f:
+                d = json.load(f)
+            det = d.get("detail", d.get("parsed", {}).get("detail", {}))
+            if "step_ms" in det:
+                step_ms = det["step_ms"]
+                break
     results["schedule"] = schedule
     results["events_total_s"] = round(total_s, 1)
     if step_ms:

@@ -6,11 +6,11 @@
 # relaunched, up to MAX_TRIES attempts.
 set -u
 PRESET=${1:-full}
-LOG=${2:-/tmp/tpu_r04/convergence_wd.log}
+LOG=${2:-/tmp/tpu_r05/convergence_wd.log}
 STALL_S=${STALL_S:-1500}
 MAX_TRIES=${MAX_TRIES:-4}
-PART=/root/repo/CONVERGENCE_r04.json.partial
-OUT=/root/repo/CONVERGENCE_r04.json
+PART=/root/repo/CONVERGENCE_r05.json.partial
+OUT=/root/repo/CONVERGENCE_r05.json
 cd /root/repo
 
 for try in $(seq 1 "$MAX_TRIES"); do
