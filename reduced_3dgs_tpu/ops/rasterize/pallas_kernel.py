@@ -136,6 +136,16 @@ def _tri_dot(x, tri, contract_tri_dim: int):
 # a [6,P]@[P,C] tile-relative pixel-moment contraction and a [4,P]@[P,C]
 # color-grad contraction — eliminating ~8 full [P,C] VPU intermediates and
 # ten cross-sublane reduction ladders per grid step (see _bwd_kernel).
+#
+# Measured SLOWER than the default ladders (61.4 vs 56.1 ms/step,
+# SWEEP_r04.json), and the explanation is structural, not noise: the
+# contractions are [few, 256] x [256, 256] matmuls at HIGHEST precision —
+# 6 serial bf16 MXU passes over tiny operands, so launch latency and
+# precision passes dominate, while the reductions they replace are single
+# cross-sublane ladders the VPU overlaps with the (already serialized)
+# triangular-scan matmuls. The backward's bottleneck is the per-step
+# scan/replay dependency chain, not reduction op count — adding MXU work
+# to a scan-bound pipeline cannot pay. Kept behind the flag for A/B.
 BWD_MOMENTS = _os.environ.get("R3DGS_BWD_MOMENTS", "0") == "1"
 # Forward early-exit flag maintenance: the per-step SMEM maxlatch refresh is
 # a serial scalar chain between consecutive steps of a tile (each step's

@@ -55,26 +55,34 @@ def _band_matrix(n: int, taps) -> jnp.ndarray:
     return acc
 
 
-def _blur_matmul(x: jnp.ndarray, taps) -> jnp.ndarray:
+def _blur_matmul(x: jnp.ndarray, taps, precision) -> jnp.ndarray:
     """Separable blur over the last two axes as two banded matmuls.
 
     The shift-add form is ~22 strided VPU passes over the stack; as
     matmuls the blur rides the MXU instead (the taps matrix is banded but
     the MXU doesn't care). Precision HIGHEST keeps the moment maps in true
-    f32 — the default bf16 matmul loses the E[x^2] - E[x]^2 cancellation."""
+    f32 — the default bf16 matmul loses the E[x^2] - E[x]^2 cancellation;
+    HIGH (3-pass bf16 decomposition) reproduces f32 at half HIGHEST's MXU
+    cost and is exact for these operands' dynamic range."""
     H, W = x.shape[-2], x.shape[-1]
     hp = jnp.einsum("...hw,hu->...uw", x, _band_matrix(H, taps),
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=precision)
     return jnp.einsum("...uw,wv->...uv", hp, _band_matrix(W, taps),
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=precision)
 
 
 def _blur(x: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
-    """Separable Gaussian blur over the last two axes, 'same' padding."""
+    """Separable Gaussian blur over the last two axes, 'same' padding.
+
+    R3DGS_SSIM: "matmul" (default, HIGHEST-precision banded matmuls) /
+    "matmul_high" (3-pass bf16 matmuls) / "ladder" (shift-add slices)."""
     taps = _gaussian_window_np(window_size, sigma)
     import os
-    if os.environ.get("R3DGS_SSIM", "matmul") == "matmul":
-        return _blur_matmul(x, taps)
+    mode = os.environ.get("R3DGS_SSIM", "matmul")
+    if mode == "matmul":
+        return _blur_matmul(x, taps, jax.lax.Precision.HIGHEST)
+    if mode == "matmul_high":
+        return _blur_matmul(x, taps, jax.lax.Precision.HIGH)
     return _blur_axis(_blur_axis(x, taps, x.ndim - 2), taps, x.ndim - 1)
 
 
