@@ -46,7 +46,15 @@ def _flatten(prefix: str, obj: Any, out: Dict[str, np.ndarray]) -> None:
     try:
         out[prefix] = np.asarray(obj)
     except Exception:
-        out[prefix] = np.asarray(repr(obj))
+        # repr() of a DELETED jax array (donated buffer) raises too —
+        # a snapshot helper must never crash the training step it is
+        # trying to document (observed: overflow snapshot at a densify
+        # boundary killed a convergence run on a donated [N,3]).
+        try:
+            out[prefix] = np.asarray(repr(obj))
+        except Exception as e:
+            out[prefix] = np.asarray(f"<unavailable: {type(obj).__name__}:"
+                                     f" {e.__class__.__name__}>")
 
 
 def dump_failure_snapshot(tag: str, state: Dict[str, Any]) -> Optional[str]:
