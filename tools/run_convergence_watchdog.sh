@@ -9,14 +9,15 @@ PRESET=${1:-full}
 LOG=${2:-/tmp/tpu_r05/convergence_wd.log}
 STALL_S=${STALL_S:-1500}
 MAX_TRIES=${MAX_TRIES:-4}
-PART=/root/repo/CONVERGENCE_r05.json.partial
-OUT=/root/repo/CONVERGENCE_r05.json
+# Each preset gets its own artifact so a stretch-scale run can't clobber
+# the flagship proof.
+OUT=${OUT:-/root/repo/CONVERGENCE_r05.json}
 cd /root/repo
 
 for try in $(seq 1 "$MAX_TRIES"); do
   echo "[watchdog] attempt $try" >> "$LOG"
   setsid python tools/convergence_proof.py --preset "$PRESET" \
-      >> "$LOG" 2>&1 &
+      --out "$OUT" >> "$LOG" 2>&1 &
   PID=$!
   while kill -0 "$PID" 2>/dev/null; do
     sleep 60
@@ -32,7 +33,12 @@ for try in $(seq 1 "$MAX_TRIES"); do
     fi
   done
   wait "$PID" 2>/dev/null
-  if [ -f "$OUT" ]; then
+  if [ -f "$OUT" ] && python - "$OUT" << 'EOF'
+import json, sys
+d = json.load(open(sys.argv[1]))
+sys.exit(0 if "reduction_vs_unpruned" in d else 1)
+EOF
+  then
     echo "[watchdog] done after attempt $try" >> "$LOG"
     exit 0
   fi
