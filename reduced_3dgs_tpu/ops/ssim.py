@@ -78,7 +78,10 @@ def _blur(x: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
     "matmul_high" (3-pass bf16 matmuls) / "ladder" (shift-add slices)."""
     taps = _gaussian_window_np(window_size, sigma)
     import os
-    mode = os.environ.get("R3DGS_SSIM", "matmul")
+    # Default matmul_high: measured grad(base) 54.4 vs matmul/HIGHEST's
+    # 55.2 ms on the r05 bench scene (bisect A/B), with 3-pass bf16
+    # reproducing the f32 moment maps within the bench parity gate.
+    mode = os.environ.get("R3DGS_SSIM", "matmul_high")
     if mode == "matmul":
         return _blur_matmul(x, taps, jax.lax.Precision.HIGHEST)
     if mode == "matmul_high":

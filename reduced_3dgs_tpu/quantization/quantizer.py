@@ -65,7 +65,7 @@ class VectorQuantizer(AbstractQuantizer):
             force_code_dtype: Optional[str] = None,
             force_codebook_dtype: str = "f4",
             tol: float = 1e-4, max_iter: int = 300,
-            warm_max_iter: int = 25, seed: int = 0):
+            warm_max_iter: int = 15, seed: int = 0):
         self.num_clusters_rotation_re = num_clusters_rotation_re or num_clusters
         self.num_clusters_rotation_im = num_clusters_rotation_im or num_clusters
         self.num_clusters_opacity = num_clusters_opacity or num_clusters
