@@ -183,45 +183,56 @@ def main():
     flagship_gate_ok = None
     if os.environ.get("BENCH_FLAGSHIP", "1") == "1":
         from reduced_3dgs_tpu.prepare import modes
-        snap = {k: jnp.array(v) for k, v in model.parameters().items()}
 
-        def timed_fused(tr):
+        # The flagship and its paired bare reference are timed on the SAME
+        # parameter state (the flagship-warmed one) over SHORT horizons
+        # (<=64 steps each): long per-trainer re-training drifts the
+        # workload itself — under the plain loss (no scale regularizer) a
+        # further ~300 steps ballooned num_rendered until the "bare" step
+        # read 275 ms (r05 preview), which says nothing about wrapper
+        # overhead.
+        def time_short(tr, warm_steps):
             tr.model.active_sh_degree = 3
-            for _ in range(130):
+            for _ in range(warm_steps):
                 _, o = tr.step(cam)
             jax.block_until_ready(o["render"])
             fk = tr.max_window(window) if window > 1 else 1
             if fk > 1:
                 fcams = [cam] * fk
+                fl, _ = tr.step_many(fcams)
+                jax.block_until_ready(fl[-1])
+                t0 = time.perf_counter()
                 for _ in range(3):
                     fl, _ = tr.step_many(fcams)
                 jax.block_until_ready(fl[-1])
-                n_win = max(STEPS // fk, 3)
-                t0 = time.perf_counter()
-                for _ in range(n_win):
-                    fl, _ = tr.step_many(fcams)
-                jax.block_until_ready(fl[-1])
-                return (time.perf_counter() - t0) / (n_win * fk) * 1e3
+                return (time.perf_counter() - t0) / (3 * fk) * 1e3
             t0 = time.perf_counter()
-            for _ in range(STEPS):
+            for _ in range(48):
                 _, o = tr.step(cam)
             jax.block_until_ready(o["render"])
-            return (time.perf_counter() - t0) / STEPS * 1e3
-
-        bmodel = VariableSHGaussianModel(3, render_backend=backend)
-        bmodel.set_parameters({k: jnp.array(v) for k, v in snap.items()})
-        bmodel.init_degrees()
-        bare_paired_ms = timed_fused(Trainer(bmodel, ds))
+            return (time.perf_counter() - t0) / 48 * 1e3
 
         fmodel = VariableSHGaussianModel(3, render_backend=backend)
-        fmodel.set_parameters({k: jnp.array(v) for k, v in snap.items()})
+        fmodel.set_parameters({k: jnp.array(v)
+                               for k, v in model.parameters().items()})
         fmodel.init_degrees()
         ftrainer = modes["densify-pruning-shculling"](fmodel, ds)
         # Steady state past the event windows (densify/prune end @15000,
         # importance @20000): only the wrappers' per-step overhead remains.
         ftrainer.curr_step = 25_000
         ftrainer.engine._curr_step = 25_000
-        flagship_ms = timed_fused(ftrainer)
+        fmodel.active_sh_degree = 3
+        for _ in range(130):
+            _, fo = ftrainer.step(cam)
+        jax.block_until_ready(fo["render"])
+        fsnap = {k: jnp.array(v) for k, v in fmodel.parameters().items()}
+        flagship_ms = time_short(ftrainer, 2)
+
+        bmodel = VariableSHGaussianModel(3, render_backend=backend)
+        bmodel.set_parameters({k: jnp.array(v) for k, v in fsnap.items()})
+        bmodel.init_degrees()
+        bmodel.active_sh_degree = 3
+        bare_paired_ms = time_short(Trainer(bmodel, ds), 80)
         flagship_gate_ok = bool(flagship_ms <= bare_paired_ms + 3.0)
 
     result = {

@@ -234,7 +234,17 @@ def _order_blocked_topk(pts: jnp.ndarray, valid: Optional[jnp.ndarray],
         dist = jnp.sum(diff * diff, axis=1)                    # [g,B,C]
         bad = (ci[:, None, :] == qi[:, :, None]) | ~cv[:, None, :]
         dist = jnp.where(bad, jnp.inf, dist)
-        d, pos = _topk_neg(dist, k, approx)
+        if approx and _TOPK_IMPL == "noagg" and dist.shape[-1] > 4 * k:
+            # Skip the per-order exact aggregation: approx_max_k's
+            # UNAGGREGATED bucket minima (a few x k of them) go straight
+            # to the cross-order merge, which runs one final top-k anyway.
+            # Bucket minima are internally duplicate-free (distinct
+            # candidate positions), which is all _merge_klists needs.
+            neg, pos = jax.lax.approx_max_k(-dist, k, recall_target=0.95,
+                                            aggregate_to_topk=False)
+            d = -neg
+        else:
+            d, pos = _topk_neg(dist, k, approx)
         # Map top-k positions to global ids from the per-block [C] table:
         # a vmapped small-table gather, NOT take_along_axis over a
         # broadcast [g,B,C] id tensor (which materializes 1.6 GB at 262k
@@ -384,7 +394,7 @@ def knn(points: jnp.ndarray, k: int, window: int = 512,
             block=window, neighbors=neighbors, approx=approx)
         ds.append(d_o)
         ids.append(i_o)
-    if n_orders > 1:
+    if n_orders > 1 or ds[0].shape[1] != k:
         d, i = _merge_klists(jnp.stack(ds, axis=1),
                              jnp.stack(ids, axis=1), k, approx)
     else:

@@ -87,11 +87,15 @@ SCAN_MODE = _os.environ.get("R3DGS_SCAN", "mxu")
 # as the default and broke every mxu-scan compile on chip). "tri3" instead
 # decomposes the f32 operand into three bf16 terms MANUALLY and issues
 # three bf16 matmuls — HIGH's arithmetic without the unsupported lowering.
-# Default "tri3": the r04 on-chip sweep measured grad(base) 55.6 ms vs
-# highest's 60.7 on the 200k bench scene (SWEEP_r04.json) with f32-faithful
-# scan arithmetic; "default" (1-pass bf16) measured 52.5 but its scan
-# precision is not production-safe.
-TRI_MODE = _os.environ.get("R3DGS_TRI_PRECISION", "tri3")
+# Default "default" (1-pass bf16): the r05 bench parity gate measured its
+# scan error directly against the full-precision XLA path on chip
+# (TRIDEFAULT_r05.json: img_max_abs_diff 0.0021 vs tri3's 0.0015, both an
+# order of magnitude inside the 5e-3 gate; every grad_max_rel_diff
+# <= 4e-4 vs the 1e-2 gate) at 52.1 ms/step vs tri3's 54.8. The r04
+# "not production-safe" judgement was an assertion, not a measurement —
+# the parity gate exists to answer exactly this (VERDICT r04 #5). "tri3"
+# (f32-faithful 3-pass, 55.6 in SWEEP_r04) and "highest" remain for A/B.
+TRI_MODE = _os.environ.get("R3DGS_TRI_PRECISION", "default")
 if TRI_MODE == "high":          # docs/back-compat alias for the 3-pass mode
     TRI_MODE = "tri3"
 _TRI_PRECISIONS = {

@@ -169,8 +169,14 @@ def main():
     ids, cb = quantizer.quantize(model, update_codebook=True)
     jax.block_until_ready(jax.tree.leaves(ids))
     ms["vq_quantize_cold"] = round((time.perf_counter() - t0) * 1e3, 1)
+    # Warm-start path: the first warm call compiles the warm_max_iter
+    # Lloyd executables (different static max_iter than cold); time the
+    # SECOND warm call — in a real run the compile happens once per
+    # process and the schedule fires 25 warm events.
+    quantizer.quantize(model, update_codebook=True)
+    model._opacity = model._opacity + 1e-6   # defeat the axon result cache
     t0 = time.perf_counter()
-    ids, cb = quantizer.quantize(model, update_codebook=True)  # warm start
+    ids, cb = quantizer.quantize(model, update_codebook=True)
     jax.block_until_ready(jax.tree.leaves(ids))
     ms["vq_quantize_warm"] = round((time.perf_counter() - t0) * 1e3, 1)
 
