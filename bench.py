@@ -127,6 +127,7 @@ def main():
                          "grad_max_rel_diff": {k: round(v, 6)
                                                for k, v in grad_rel.items()}}
 
+    print("[bench] parity done; building trainer", file=sys.stderr, flush=True)
     trainer = Trainer(model, ds)
     trainer.model.active_sh_degree = 3  # bench the full-SH path
 
@@ -141,11 +142,13 @@ def main():
     jax.block_until_ready(out["render"])
     num_rendered = int(out.get("num_rendered", 0))
 
+    print("[bench] warmup done", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     for _ in range(STEPS):
         loss, out = trainer.step(cam)
     jax.block_until_ready(out["render"])
     dt_single = (time.perf_counter() - t0) / STEPS
+    print("[bench] single timing done", file=sys.stderr, flush=True)
 
     # Fused multi-step windows: the production stepping mode (train.py runs
     # step_many windows sized by max_window). k steps dispatch as ONE jitted
@@ -181,7 +184,34 @@ def main():
     flagship_ms = None
     bare_paired_ms = None
     flagship_gate_ok = None
+    flagship_error = None
     if os.environ.get("BENCH_FLAGSHIP", "1") == "1":
+        # Run the flagship section in a KILLABLE SUBPROCESS: the axon
+        # tunnel can wedge mid-compile on the flagship program set
+        # (observed twice in r05, each time freezing the whole process
+        # inside a jax call with no recovery path). A wedged flagship
+        # probe must cost its timeout, not the round's headline metric.
+        import subprocess
+        env = dict(os.environ, BENCH_FLAGSHIP="inner", BENCH_PARITY="0",
+                   BENCH_STEPS="3")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=1500)
+            line = [l for l in proc.stdout.splitlines()
+                    if l.startswith('{"flagship_step_ms"')]
+            if line:
+                fd = json.loads(line[-1])
+                flagship_ms = fd["flagship_step_ms"]
+                bare_paired_ms = fd["bare_paired_step_ms"]
+                flagship_gate_ok = fd["flagship_gate_ok"]
+            else:
+                flagship_error = (f"no flagship line; rc={proc.returncode} "
+                                  f"tail={proc.stdout[-200:]!r}")
+        except subprocess.TimeoutExpired:
+            flagship_error = "flagship subprocess timed out (tunnel wedge?)"
+
+    if os.environ.get("BENCH_FLAGSHIP") == "inner":
         from reduced_3dgs_tpu.prepare import modes
 
         # The flagship and its paired bare reference are timed on the SAME
@@ -212,6 +242,7 @@ def main():
             jax.block_until_ready(o["render"])
             return (time.perf_counter() - t0) / 48 * 1e3
 
+        print("[bench] fused done; flagship build", file=sys.stderr, flush=True)
         fmodel = VariableSHGaussianModel(3, render_backend=backend)
         fmodel.set_parameters({k: jnp.array(v)
                                for k, v in model.parameters().items()})
@@ -222,18 +253,27 @@ def main():
         ftrainer.curr_step = 25_000
         ftrainer.engine._curr_step = 25_000
         fmodel.active_sh_degree = 3
+        print("[bench] flagship warming", file=sys.stderr, flush=True)
         for _ in range(130):
             _, fo = ftrainer.step(cam)
         jax.block_until_ready(fo["render"])
         fsnap = {k: jnp.array(v) for k, v in fmodel.parameters().items()}
+        print("[bench] flagship warmed", file=sys.stderr, flush=True)
         flagship_ms = time_short(ftrainer, 2)
 
         bmodel = VariableSHGaussianModel(3, render_backend=backend)
         bmodel.set_parameters({k: jnp.array(v) for k, v in fsnap.items()})
         bmodel.init_degrees()
         bmodel.active_sh_degree = 3
+        print("[bench] flagship timed; paired bare", file=sys.stderr, flush=True)
         bare_paired_ms = time_short(Trainer(bmodel, ds), 80)
+        print("[bench] paired bare timed", file=sys.stderr, flush=True)
         flagship_gate_ok = bool(flagship_ms <= bare_paired_ms + 3.0)
+        print(json.dumps({
+            "flagship_step_ms": round(flagship_ms, 2),
+            "bare_paired_step_ms": round(bare_paired_ms, 2),
+            "flagship_gate_ok": flagship_gate_ok}))
+        return
 
     result = {
         "metric": "train_step_pixels_per_s",
@@ -258,6 +298,7 @@ def main():
             "flagship_overhead_ms": (round(flagship_ms - bare_paired_ms, 2)
                                      if flagship_ms is not None else None),
             "flagship_gate_ok": flagship_gate_ok,
+            "flagship_error": flagship_error,
             "num_rendered": num_rendered,
             "device": str(jax.devices()[0]),
         },
