@@ -99,3 +99,28 @@ def test_importance_resize():
     c2, _, _ = prune_list(m, ds, resize=32)
     # resized render touches ~1/4 of the pixels
     assert 0 < np.asarray(c2).sum() < np.asarray(c1).sum()
+
+
+def test_prune_list_scan_matches_per_camera_loop():
+    """The single-dispatch lax.scan sweep (stackable same-resolution
+    cameras) must produce exactly the same summed counters as manual
+    per-camera count_render accumulation."""
+    import jax.numpy as jnp
+    m, ds = _model_and_ds(n=40, key=3, n_cams=3)
+    gc, osc, tas = prune_list(m, ds)          # scan path (3 same-res cams)
+
+    n = m.capacity
+    c = jnp.zeros((n,), jnp.int32)
+    o = jnp.zeros((n,), jnp.float32)
+    t = jnp.zeros((n,), jnp.float32)
+    for cam in ds:
+        out = count_render(m, cam)
+        c = c + out["gaussians_count"]
+        o = o + out["opacity_important_score"]
+        t = t + out["T_alpha_important_score"]
+    mpts = m.num_points
+    np.testing.assert_array_equal(np.asarray(gc), np.asarray(c[:mpts]))
+    np.testing.assert_allclose(np.asarray(osc), np.asarray(o[:mpts]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tas), np.asarray(t[:mpts]),
+                               rtol=1e-5, atol=1e-5)
