@@ -116,3 +116,35 @@ def test_shculler_fires_at_step():
     assert np.asarray(m.aux_state()["degrees"])[: m.num_points].max() == 3
     trainer.step(ds[1])  # step 2 -> cull fires
     assert np.asarray(m.aux_state()["degrees"])[: m.num_points].max() == 0
+
+
+def test_colours_variance_scan_matches_per_camera_loop(monkeypatch):
+    """The stacked-camera lax.scan sweep must equal the per-camera
+    accumulation loop (same West-style running stats, same order)."""
+    import jax
+    import numpy as np
+    from reduced_3dgs_tpu.dataset import build_camera
+    from reduced_3dgs_tpu.dataset import camera as camera_mod
+    from reduced_3dgs_tpu.ops.shculling_stats import calculate_colours_variance
+    from reduced_3dgs_tpu.shculling import VariableSHGaussianModel
+    from .helpers import random_cloud
+
+    cloud = random_cloud(jax.random.PRNGKey(5), 25)
+    m = VariableSHGaussianModel(3)
+    m.set_parameters(dict(
+        xyz=cloud["xyz"], features_dc=cloud["features"][:, :1],
+        features_rest=cloud["features"][:, 1:], scaling=cloud["scaling"],
+        rotation=cloud["rotation"], opacity=cloud["opacity"]))
+    m.init_degrees()
+    cams = [build_camera(image_height=32, image_width=32, FoVx=1.0, FoVy=1.0),
+            build_camera(image_height=32, image_width=32, FoVx=1.1, FoVy=1.0),
+            build_camera(image_height=32, image_width=32, FoVx=1.0, FoVy=1.1)]
+    params = m.parameters()
+    degrees = m.aux_state()["degrees"]
+
+    scan = calculate_colours_variance(cams, m, params, degrees, 3)
+    monkeypatch.setattr(camera_mod, "stackable", lambda cs: False)
+    loop = calculate_colours_variance(cams, m, params, degrees, 3)
+    for a, b in zip(scan, loop):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
