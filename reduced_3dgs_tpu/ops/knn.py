@@ -255,7 +255,8 @@ def _order_blocked_topk(pts: jnp.ndarray, valid: Optional[jnp.ndarray],
     g = _block_group_count(block, c)
     if nb <= g:
         d, ids = score((blocks, bids, cand_p, cand_i, cand_v))
-        d, ids = d.reshape(-1, k), ids.reshape(-1, k)
+        w = d.shape[-1]                 # k, or the noagg candidate width
+        d, ids = d.reshape(-1, w), ids.reshape(-1, w)
     else:
         gpad = (-nb) % g
         def padg(a, fill=0):
@@ -265,10 +266,11 @@ def _order_blocked_topk(pts: jnp.ndarray, valid: Optional[jnp.ndarray],
         d, ids = jax.lax.map(score, (padg(blocks), padg(bids, -1),
                                      padg(cand_p), padg(cand_i, -1),
                                      padg(cand_v, False)))
-        d, ids = d.reshape(-1, k)[:nb * block], ids.reshape(-1, k)[:nb * block]
+        w = d.shape[-1]
+        d, ids = d.reshape(-1, w)[:nb * block], ids.reshape(-1, w)[:nb * block]
 
     # Back to original row order (pad slots live at sorted ranks >= n and
-    # are never referenced by rank_of). One combined [Np, 2k] gather: the
+    # are never referenced by rank_of). One combined [Np, 2w] gather: the
     # minor dim pads to 128 either way, so fusing d and ids (f32-bitcast)
     # into one array halves the gather cost.
     rank_of = jnp.zeros((n,), jnp.int32).at[order].set(
@@ -281,8 +283,8 @@ def _order_blocked_topk(pts: jnp.ndarray, valid: Optional[jnp.ndarray],
     packed = jnp.concatenate(
         [d, jax.lax.bitcast_convert_type(ids | tag, jnp.float32)], axis=1)
     packed = packed[rank_of]
-    return packed[:, :k], jax.lax.bitcast_convert_type(
-        packed[:, k:], jnp.int32) & ~tag
+    return packed[:, :w], jax.lax.bitcast_convert_type(
+        packed[:, w:], jnp.int32) & ~tag
 
 
 def _chunked_refine(pts, mask, k, d, i, row_chunk: int, sample: int,
