@@ -129,10 +129,15 @@ def camera_from_json(entry: dict, **overrides) -> Camera:
 
 
 def strip_images(camera: Camera) -> Camera:
-    """Drop the (large, sweep-irrelevant) image payloads from a camera."""
+    """Drop the (large, sweep-irrelevant) image payloads from a camera.
+
+    custom_data is dropped too: it is a STATIC pytree field, so two
+    cameras with different custom_data have different tree structures
+    and cannot be stacked."""
     return camera.replace(ground_truth_image=None,
                           ground_truth_image_mask=None,
-                          ground_truth_depth=None)
+                          ground_truth_depth=None,
+                          custom_data=None)
 
 
 def stackable(cameras) -> bool:
