@@ -331,8 +331,9 @@ def _chunked_refine(pts, mask, k, d, i, row_chunk: int, sample: int,
     return d2.reshape(-1, k)[:n], i2.reshape(-1, k)[:n]
 
 
-# R3DGS_KNN_TOPK: "bucketsel" (default) / "approx" (lax.approx_max_k) /
-# "exact" (lax.top_k everywhere).
+# R3DGS_KNN_TOPK: "approx" (default, lax.approx_max_k) / "bucketsel"
+# (strided-bucket min + selection scan) / "noagg" (unaggregated bucket
+# minima straight to the merge) / "exact" (lax.top_k everywhere).
 _APPROX_DEFAULT = _TOPK_IMPL != "exact"
 
 
